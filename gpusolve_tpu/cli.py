@@ -1,0 +1,159 @@
+"""Command-line entry point: ``gpusolve <path/to/config.conf>``.
+
+Mirrors the reference CLI surface (src/main.cpp:15-114): a positional config
+file in the 14-line format, mode-dispatch to the linear/FAS solver or the
+Newton driver, and the same progress lines (``Inital residual: …``,
+``iter: N residual: R Took Xms``) that the reference's experiment harness
+regex-parses (runExperiments.py:46).
+
+TPU-native extensions beyond the reference surface (flags, all optional):
+  --dtype {float32,float64}   storage dtype (TPU default float32; float64 for
+                              exact-tolerance parity runs, emulated on TPU)
+  --backend {auto,xla,pallas} op backend selection
+  --mesh X,Y,Z                3-D device mesh for multi-chip domain
+                              decomposition (default: single device)
+  --dump PATH                 write the final solution in Vector3::dump text
+                              format (src/cpu/Vector3.cpp:56-78)
+  --validate                  print max-abs error vs the analytic solution
+                              (plotter.py parity, nonlinear/Newton modes)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="gpusolve",
+        description="TPU-native 3D geometric-multigrid solver",
+    )
+    ap.add_argument("config", help="path to config file (14-line format)")
+    ap.add_argument(
+        "--dtype", choices=["float32", "float64"], default="float32"
+    )
+    ap.add_argument(
+        "--backend",
+        choices=["auto", "xla", "pallas", "cpu-native"],
+        default="auto",
+        help="auto/xla/pallas run on the JAX device; cpu-native runs the "
+        "C++/OpenMP host backend (csrc/gpusolve_cpu.cpp)",
+    )
+    ap.add_argument(
+        "--mesh",
+        default=None,
+        help="comma-separated 3-D device mesh, e.g. 2,2,2 (default: 1 device)",
+    )
+    ap.add_argument("--dump", default=None, metavar="PATH")
+    ap.add_argument("--validate", action="store_true")
+    ap.add_argument(
+        "--quiet", action="store_true", help="suppress progress lines"
+    )
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if not os.path.isfile(args.config):
+        # Reference wording: src/main.cpp:24
+        print(
+            f"{args.config} does not exist or is not a file", file=sys.stderr
+        )
+        return 1
+
+    native = args.backend == "cpu-native"
+    if args.dtype == "float64" and not native:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from gpusolve_tpu import parse_config
+    from gpusolve_tpu.config import Mode
+    from gpusolve_tpu.utils.dump import compare_analytic, dump_field
+
+    print(f"Using config file {args.config}")
+    try:
+        params = parse_config(
+            args.config,
+            dtype="float64" if native else args.dtype,
+            backend="xla" if native else args.backend,
+            print_progress=not args.quiet,
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    # Reference announces the mode (src/main.cpp:44-51).
+    mode_msg = {
+        Mode.LINEAR: "Solving linear problem",
+        Mode.NONLINEAR: "Solving nonlinear problem",
+        Mode.NEWTON: "Solving newton problem",
+    }
+    print(mode_msg[params.mode])
+    if not params.properly_nested:
+        print(
+            "warning: grid dims are not 2^k-1-nested; coarse grids are "
+            "geometrically misaligned and multigrid convergence is not "
+            "guaranteed (this matches the reference's behavior)",
+            file=sys.stderr,
+        )
+
+    import numpy as np
+
+    if native:
+        import time
+
+        from gpusolve_tpu import cpu_native
+
+        t0 = time.perf_counter()
+        solution, history = cpu_native.solve_native(params)
+        if params.print_progress:
+            if params.mode == Mode.NEWTON:
+                print(f"Inital newton residual: {history[0]:.6g}")
+            else:
+                print(f"Inital residual: {history[0]:.6g}")
+            ms = int((time.perf_counter() - t0) * 1000)
+            word = "newton iter" if params.mode == Mode.NEWTON else "iter"
+            for i, res in enumerate(history[1:]):
+                print(f"{word}: {i} residual: {res:.6g}", end="")
+                print(f" Took {ms // max(1, len(history) - 1)}ms")
+    else:
+        from gpusolve_tpu import build_grid, newton_solve, solve
+
+        shardings = None
+        if args.mesh:
+            from gpusolve_tpu.dist import level_shardings, make_mesh
+
+            mesh_shape = tuple(int(t) for t in args.mesh.split(","))
+            mesh = make_mesh(mesh_shape)
+            shardings = level_shardings(params, mesh)
+
+        state = build_grid(params)
+        if params.mode == Mode.NEWTON:
+            state, _ = newton_solve(state, params, shardings=shardings)
+            solution = state.levels[0].newton_v
+        else:
+            state, _ = solve(state, params, shardings=shardings)
+            solution = state.levels[0].v
+        # Slice the tile-aligned allocation down to the logical padded
+        # region (gpusolve_tpu.grid.alloc_shape) for dump/validation parity.
+        nx, ny, nz = params.grid_dim
+        solution = np.asarray(solution)[: nx + 2, : ny + 2, : nz + 2]
+
+    if args.dump:
+        dump_field(solution, args.dump)
+        print(f"Dumped solution to {args.dump}")
+    if args.validate:
+        if params.mode == Mode.LINEAR:
+            print("--validate only applies to nonlinear/newton modes")
+        else:
+            err = compare_analytic(solution, params.h)
+            print(f"max-abs error vs analytic solution: {err:.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,6 +126,22 @@ class GridParams:
     def replace(self, **kw) -> "GridParams":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def properly_nested(self) -> bool:
+        """True when every coarsening step satisfies fine = 2·coarse+1 per
+        axis (grid dims of the form m·2^k-1), which makes coarse grid points
+        coincide geometrically with fine ones.  The reference's integer
+        halving (src/cpu/CpuGridData.cpp:27-29) silently assumes this — its
+        experiments only use 63/127/255 (runExperiments.py:89); other sizes
+        (e.g. 96, 257) produce misaligned coarse grids and the V-cycle can
+        diverge, in the reference and here alike."""
+        ds = self.level_dims()
+        return all(
+            f == 2 * c + 1
+            for fine, coarse in zip(ds, ds[1:])
+            for f, c in zip(fine, coarse)
+        )
+
 
 def parse_config_text(text: str, **overrides) -> GridParams:
     """Parse the 14-line whitespace-separated config format.

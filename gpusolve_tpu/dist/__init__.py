@@ -1,0 +1,20 @@
+"""Multi-chip 3-D spatial domain decomposition.
+
+The reference is single-process, single-device (SURVEY.md §2.3); this layer is
+the distribution capability the TPU build adds per BASELINE.json: each grid
+level is block-partitioned over a 3-D ``jax.sharding.Mesh`` of chips.  The
+stencil/transfer ops in gpusolve_tpu.ops are written as shifted-slice
+arithmetic, so under ``jit`` with sharded operands the XLA SPMD partitioner
+inserts the one-cell halo-exchange collective-permutes automatically — the
+same traced V-cycle runs single-chip or pod-sliced.
+
+Coarse levels below a per-shard size threshold are explicitly *replicated*
+(every chip redundantly smooths the tiny coarse grids): the multigrid analogue
+of pipeline-stage consolidation, avoiding halo messages larger than the level
+itself (SURVEY.md §5 "long-context" note).
+"""
+
+from gpusolve_tpu.dist.mesh import factor_devices, make_mesh
+from gpusolve_tpu.dist.sharding import level_shardings, shard_state
+
+__all__ = ["factor_devices", "make_mesh", "level_shardings", "shard_state"]

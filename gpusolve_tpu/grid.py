@@ -41,6 +41,24 @@ import numpy as np
 from gpusolve_tpu.config import GridParams, Mode
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def alloc_shape(dims) -> tuple:
+    """TPU-tile-aligned allocation shape for a level with interior ``dims``.
+
+    The logical padded extent is ``n+2`` per axis (1-cell Dirichlet halo);
+    allocation rounds x,y up to 8 and z up to 128 so (a) Mosaic DMA slices
+    are tile-aligned, (b) GSPMD shardings divide evenly for power-of-two
+    meshes, and (c) the physical HBM footprint equals the logical one (no
+    hidden layout padding — bandwidth accounting is honest).  Cells outside
+    the logical padded region are zero forever.
+    """
+    nx, ny, nz = dims
+    return (_round_up(nx + 2, 8), _round_up(ny + 2, 8), _round_up(nz + 2, 128))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GridLevel:
@@ -174,7 +192,10 @@ def _device_rhs(params: GridParams, dtype) -> jax.Array:
                 2.0 * (gy * gz + gx * gz + gx * gy)
                 + gamma * prod * jnp.exp(prod)
             )
-        return jnp.pad(interior, 1)
+        ax, ay, az = alloc_shape(params.grid_dim)
+        return jnp.pad(
+            interior, ((1, ax - nx - 1), (1, ay - ny - 1), (1, az - nz - 1))
+        )
 
     return build()
 
@@ -200,7 +221,7 @@ def build_grid(params: GridParams, device=None) -> GridState:
 
     levels = []
     for i, (nx, ny, nz) in enumerate(dims):
-        shape = (nx + 2, ny + 2, nz + 2)
+        shape = alloc_shape((nx, ny, nz))
 
         def zeros() -> jax.Array:
             # Allocate on-device: zero fields must not cost a host→device
@@ -213,9 +234,12 @@ def build_grid(params: GridParams, device=None) -> GridState:
             if dtype == jnp.float64:
                 # Host float64 path: bit-exact vs the float64 test oracle.
                 if params.mode == Mode.LINEAR:
-                    f = put(linear_rhs(dims[0], params.h))
+                    f_np = linear_rhs(dims[0], params.h)
                 else:
-                    f = put(nonlinear_rhs(dims[0], params.h, params.gamma))
+                    f_np = nonlinear_rhs(dims[0], params.h, params.gamma)
+                full = np.zeros(shape, dtype=np.float64)
+                full[: nx + 2, : ny + 2, : nz + 2] = f_np
+                f = put(full)
             else:
                 f = _device_rhs(params, dtype)
                 if device is not None:

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from gpusolve_tpu.config import GridParams, Mode
 from gpusolve_tpu.grid import GridState
 from gpusolve_tpu.ops import dispatch as ops
-from gpusolve_tpu.ops import xla
 from gpusolve_tpu.solver import vcycle as vc
 from gpusolve_tpu.utils.timer import Timer
 
@@ -41,16 +40,20 @@ def comp_f(
 ) -> Tuple[GridState, jax.Array]:
     """Nonlinear residual F = newton_f − (A·ũ/h² + γ·ũ·e^ũ) on the finest
     level, stored into level-0 f; returns its L2 norm (reference:
-    src/cpu/NewtonSolver.cpp:48-81)."""
+    src/cpu/NewtonSolver.cpp:48-81).
+
+    Implemented as the NONLINEAR-mode residual evaluated at v=ũ with the
+    original RHS — identical algebra, and it reuses the residual kernel on
+    the Pallas path.  The dead donor buffer is the stale level-0 f (its halo
+    is zero; the reference also writes interior f only, NewtonSolver.cpp:72).
+    """
     lvl = state.levels[0]
     h = params.level_h(0)
-    a_nv = xla.apply_stencil_fas(lvl.newton_v, params, h)  # A·ũ + γ·ũ·e^ũ
-    F = state.newton_f - a_nv
-    # Zero halo: newton_f halo is 0 and apply_stencil_fas has a zero halo, so
-    # F's halo is already 0 (the reference writes interior f only,
-    # NewtonSolver.cpp:72-73).
-    F_int = F[1:-1, 1:-1, 1:-1]
-    sumsq = jnp.sum(F_int * F_int)
+    nl_params = dataclasses.replace(params, mode=Mode.NONLINEAR)
+    F, sumsq = ops.residual_op(
+        lvl.f, lvl.newton_v, state.newton_f, params.level_dims()[0],
+        nl_params, h, with_norm=True,
+    )
     levels = (dataclasses.replace(lvl, f=F),) + state.levels[1:]
     return dataclasses.replace(state, levels=levels), jnp.sqrt(sumsq)
 
@@ -65,9 +68,11 @@ def _prepare_find_error(
     levels[0] = dataclasses.replace(
         levels[0], v=jnp.zeros_like(levels[0].v)
     )
+    dims = params.level_dims()
     for i in range(1, len(levels) - 1):
-        nv = ops.restrict_full_weighting(
-            levels[i - 1].newton_v, levels[i].newton_v.shape
+        nv = ops.restrict_op(
+            levels[i].newton_v, levels[i - 1].newton_v,
+            dims[i - 1], dims[i], params,
         )
         if shardings is not None and shardings[i] is not None:
             nv = jax.lax.with_sharding_constraint(nv, shardings[i])

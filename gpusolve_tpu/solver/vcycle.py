@@ -8,10 +8,16 @@ once-per-cycle scalar norm fetch is the only host synchronisation (the same
 async profile the reference GPU backend gets from its sub-queue scheduler,
 src/sycl/SyclSolver.cpp:86-162, sync point :361-374).
 
-Multi-chip: pass ``shardings`` (one ``jax.sharding.Sharding`` per level, or
-None entries for replicated coarse levels) and the same traced code runs SPMD
-over a device mesh — GSPMD inserts halo-exchange collective-permutes for the
-stencil slice shifts.  See gpusolve_tpu.dist.
+Buffer discipline (Pallas path): every level array keeps a permanently-zero
+halo, and each kernel writes its result into a buffer whose value is dead —
+the smoother ping-pongs v with the residual scratch r, the transfer ops write
+into the coarse level's stale arrays.  Steady-state V-cycles therefore run
+with zero allocation and zero halo maintenance (the TPU analogue of the
+reference runtime's steady-state device residency,
+extern/sycl-gtx command_group optimize(), SURVEY.md §3.4).
+
+Multi-chip: pass ``shardings`` (one per level) and the same traced code runs
+SPMD over a device mesh (see gpusolve_tpu.dist).
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +47,9 @@ def trace_params(params: GridParams) -> GridParams:
 
 
 def _constrain(arr, shardings, i):
-    if shardings is None or shardings[i] is None:
+    if shardings is None or shardings[i] is None or arr is None:
         return arr
     return jax.lax.with_sharding_constraint(arr, shardings[i])
-
-
-def _jacobi_level(
-    level: GridLevel, params: GridParams, h: float, n_iter: int
-) -> GridLevel:
-    v = ops.jacobi(
-        level.v, level.f, params, h, n_iter, newton_v=level.newton_v
-    )
-    return dataclasses.replace(level, v=v)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "shardings"))
@@ -66,38 +63,53 @@ def vcycle(
     levels: List[GridLevel] = list(state.levels)
     nlev = len(levels)
     hs = [params.level_h(i) for i in range(nlev)]
+    dims = params.level_dims()
     fas = params.mode == Mode.NONLINEAR
+
+    def smooth_level(i: int, n_iter: int) -> None:
+        lvl = levels[i]
+        v, spare = ops.smooth(
+            lvl.v, lvl.f, lvl.r, dims[i], params, hs[i], n_iter,
+            newton_v=lvl.newton_v,
+        )
+        levels[i] = dataclasses.replace(
+            lvl, v=_constrain(v, shardings, i), r=spare
+        )
 
     # Down-leg (reference :87-114).
     for i in range(nlev - 1):
-        levels[i] = _jacobi_level(
-            levels[i], params, hs[i], params.pre_smoothing
+        smooth_level(i, params.pre_smoothing)
+        lvl = levels[i]
+        r, _ = ops.residual_op(
+            lvl.r, lvl.v, lvl.f, dims[i], params, hs[i],
+            newton_v=lvl.newton_v, with_norm=False,
         )
-        r, _ = ops.residual(
-            levels[i].v,
-            levels[i].f,
-            params,
-            hs[i],
-            newton_v=levels[i].newton_v,
-        )
-        levels[i] = dataclasses.replace(levels[i], r=r)
+        r = _constrain(r, shardings, i)
+        levels[i] = dataclasses.replace(lvl, r=r)
 
         nxt = levels[i + 1]
         f_next = _constrain(
-            ops.restrict_full_weighting(r, nxt.f.shape), shardings, i + 1
+            ops.restrict_op(nxt.f, r, dims[i], dims[i + 1], params),
+            shardings,
+            i + 1,
         )
         if not fas:
-            v_next = jnp.zeros_like(nxt.v)
-            levels[i + 1] = dataclasses.replace(nxt, f=f_next, v=v_next)
+            levels[i + 1] = dataclasses.replace(
+                nxt, f=f_next, v=jnp.zeros_like(nxt.v)
+            )
         else:
             # FAS tau correction (reference :100-113): restrict v into both
             # restV and v, add the coarse operator applied to it onto f.
             rest_v = _constrain(
-                ops.restrict_full_weighting(levels[i].v, nxt.v.shape),
+                ops.restrict_op(
+                    nxt.rest_v, lvl.v, dims[i], dims[i + 1], params
+                ),
                 shardings,
                 i + 1,
             )
-            a_coarse = ops.apply_stencil_fas(rest_v, params, hs[i + 1])
+            a_coarse = ops.apply_stencil_fas(
+                rest_v, dims[i + 1], params, hs[i + 1]
+            )
             levels[i + 1] = dataclasses.replace(
                 nxt,
                 f=f_next + a_coarse,
@@ -107,12 +119,7 @@ def vcycle(
             )
 
     # Coarsest level: smoothing only, no direct solve (reference :117).
-    levels[nlev - 1] = _jacobi_level(
-        levels[nlev - 1],
-        params,
-        hs[nlev - 1],
-        params.pre_smoothing + params.post_smoothing,
-    )
+    smooth_level(nlev - 1, params.pre_smoothing + params.post_smoothing)
 
     # Up-leg (reference :119-135).
     for i in range(nlev - 1, 0, -1):
@@ -120,23 +127,29 @@ def vcycle(
             levels[i] = dataclasses.replace(
                 levels[i], v=levels[i].v - levels[i].rest_v
             )
-        e = _constrain(
-            ops.interpolate(levels[i].v, levels[i - 1].v.shape),
-            shardings,
-            i - 1,
+        lvl = levels[i - 1]
+        # Trilinear prolongation fused with the coarse-grid correction
+        # (reference interpolate :240-290 then `v += e` :130-132).
+        v_corr, e = ops.prolong_add_op(
+            lvl.r, levels[i].v, lvl.v, dims[i], dims[i - 1], params
         )
         levels[i - 1] = dataclasses.replace(
-            levels[i - 1], e=e, v=levels[i - 1].v + e
+            lvl,
+            v=_constrain(v_corr, shardings, i - 1),
+            r=lvl.v,  # old v value is dead; its buffer becomes the scratch
+            e=e if e is not None else lvl.e,
         )
-        levels[i - 1] = _jacobi_level(
-            levels[i - 1], params, hs[i - 1], params.post_smoothing
-        )
+        smooth_level(i - 1, params.post_smoothing)
 
-    # Final residual (reference :138).
-    r0, sumsq = ops.residual(
-        levels[0].v, levels[0].f, params, hs[0], newton_v=levels[0].newton_v
+    # Final residual + norm (reference :138).
+    lvl0 = levels[0]
+    r0, sumsq = ops.residual_op(
+        lvl0.r, lvl0.v, lvl0.f, dims[0], params, hs[0],
+        newton_v=lvl0.newton_v, with_norm=True,
     )
-    levels[0] = dataclasses.replace(levels[0], r=r0)
+    levels[0] = dataclasses.replace(
+        lvl0, r=_constrain(r0, shardings, 0)
+    )
     return (
         dataclasses.replace(state, levels=tuple(levels)),
         jnp.sqrt(sumsq),
@@ -150,8 +163,9 @@ def residual_norm(
     """Residual at the finest level, storing r (reference compResidual,
     src/cpu/CpuSolver.cpp:45-83)."""
     lvl = state.levels[0]
-    r, sumsq = ops.residual(
-        lvl.v, lvl.f, params, params.level_h(0), newton_v=lvl.newton_v
+    r, sumsq = ops.residual_op(
+        lvl.r, lvl.v, lvl.f, params.level_dims()[0], params,
+        params.level_h(0), newton_v=lvl.newton_v, with_norm=True,
     )
     levels = (dataclasses.replace(lvl, r=r),) + state.levels[1:]
     return dataclasses.replace(state, levels=levels), jnp.sqrt(sumsq)

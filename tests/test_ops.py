@@ -49,7 +49,7 @@ def test_residual_matches_oracle(mode):
     expected_norm = orc.comp_residual(g, 0)
 
     r, sumsq = ops.residual(
-        lvl.v, lvl.f, p, lvl.h,
+        lvl.v, lvl.f, lvl.dims, p, lvl.h,
         newton_v=lvl.newton_v if mode == Mode.NEWTON else None,
     )
     np.testing.assert_allclose(np.asarray(r), g.levels[0].r, rtol=1e-12)
@@ -70,7 +70,7 @@ def test_jacobi_matches_oracle(mode, n_iter):
     orc.jacobi(g, 0, n_iter)
 
     got = ops.jacobi(
-        v0, lvl.f, p, lvl.h, n_iter,
+        v0, lvl.f, lvl.dims, p, lvl.h, n_iter,
         newton_v=lvl.newton_v if mode == Mode.NEWTON else None,
     )
     np.testing.assert_allclose(np.asarray(got), lvl.v, rtol=1e-12)
@@ -83,7 +83,7 @@ def test_apply_stencil_fas_matches_oracle():
     lvl = g.levels[1]
     v = rand_field(rng, lvl.v.shape)
     orc.apply_stencil(g, 1, v)
-    got = ops.apply_stencil_fas(v, p, lvl.h)
+    got = ops.apply_stencil_fas(v, lvl.dims, p, lvl.h)
     np.testing.assert_allclose(np.asarray(got), lvl.r, rtol=1e-12)
 
 
@@ -94,7 +94,9 @@ def test_restrict_matches_oracle(dims):
     g = orc.OracleGrid(p)
     fine = rand_field(rng, g.levels[0].r.shape)
     orc.restrict(fine, g.levels[1].f)
-    got = ops.restrict_full_weighting(fine, g.levels[1].f.shape)
+    got = ops.restrict_full_weighting(
+        fine, g.levels[0].dims, g.levels[1].dims, g.levels[1].f.shape
+    )
     np.testing.assert_allclose(np.asarray(got), g.levels[1].f, rtol=1e-12)
 
 
@@ -105,7 +107,9 @@ def test_restrict_weights_sum_to_one():
     g = orc.OracleGrid(p)
     fine = np.ones(g.levels[0].r.shape)
     got = np.asarray(
-        ops.restrict_full_weighting(fine, g.levels[1].f.shape)
+        ops.restrict_full_weighting(
+            fine, g.levels[0].dims, g.levels[1].dims, g.levels[1].f.shape
+        )
     )
     assert got[2:-2, 2:-2, 2:-2] == pytest.approx(1.0)
 
@@ -117,7 +121,10 @@ def test_interpolate_matches_oracle(dims):
     g = orc.OracleGrid(p)
     g.levels[1].v[:] = rand_field(rng, g.levels[1].v.shape)
     orc.interpolate(g, 0)
-    got = ops.interpolate(g.levels[1].v, g.levels[0].e.shape)
+    got = ops.interpolate(
+        g.levels[1].v, g.levels[1].dims, g.levels[0].dims,
+        g.levels[0].e.shape,
+    )
     np.testing.assert_allclose(np.asarray(got), g.levels[0].e, rtol=1e-12)
 
 

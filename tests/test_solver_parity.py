@@ -106,7 +106,7 @@ def test_nonlinear_solution_matches_analytic():
     x = np.arange(1, n + 1) * h
     X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
     exact = (X - X * X) * (Y - Y * Y) * (Z - Z * Z)
-    err = np.max(np.abs(v[1:-1, 1:-1, 1:-1] - exact))
+    err = np.max(np.abs(v[1 : n + 1, 1 : n + 1, 1 : n + 1] - exact))
     assert err < 5e-4  # O(h²) discretisation error at h=1/32
 
 
@@ -120,5 +120,5 @@ def test_newton_solution_matches_analytic():
     x = np.arange(1, n + 1) * h
     X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
     exact = (X - X * X) * (Y - Y * Y) * (Z - Z * Z)
-    err = np.max(np.abs(u[1:-1, 1:-1, 1:-1] - exact))
+    err = np.max(np.abs(u[1 : n + 1, 1 : n + 1, 1 : n + 1] - exact))
     assert err < 5e-4
