@@ -112,15 +112,23 @@ def main() -> None:
     state = build_grid(params)
     jax.block_until_ready(state)
 
+    fused = vc.use_fused(params, None)
+
+    def cycle(state):
+        if fused:
+            return vc.vcycle_fused(state, params=tp)
+        return vc.vcycle(state, params=tp, shardings=None)
+
     # Warm-up: compile + absorb any first-fetch tunnel stall.
-    state, res = vc.vcycle(state, params=tp, shardings=None)
-    jax.block_until_ready(state)
+    state, res = cycle(state)
     float(res)
 
     t0 = time.perf_counter()
     for _ in range(cycles):
-        state, res = vc.vcycle(state, params=tp, shardings=None)
-    jax.block_until_ready(state)
+        state, res = cycle(state)
+    # block_until_ready is unreliable through the axon tunnel; force a
+    # dependent scalar fetch instead.
+    float(res)
     dt = time.perf_counter() - t0
     per_cycle = dt / cycles
 
@@ -149,6 +157,7 @@ def main() -> None:
                 "device": getattr(dev, "device_kind", str(dev)),
                 "mode": Mode(mode_num).name,
                 "cycles": cycles,
+                "fused_kernel": fused,
             }
         )
     )

@@ -68,7 +68,9 @@ def _interior_mask(shape, ny: int, nz: int, val):
 
 def _roll(x, shift: int, axis: int):
     """Circular shift.  On TPU, pltpu.roll lowers to the native rotate op;
-    jnp.roll would become a lane-misaligned concat (slow)."""
+    jnp.roll would become a lane-misaligned concat (slow).  pltpu.roll
+    requires a non-negative shift, so normalise modulo the axis length."""
+    shift = shift % x.shape[axis]
     try:
         return pltpu.roll(x, shift, axis)
     except Exception:  # interpret mode fallback
@@ -439,10 +441,12 @@ def _restrict_call(
         wz = _restrict_matrix(fzp, czp, cnz, dtype)  # (fzp, czp)
         for c in range(tx):
             tmp = jnp.dot(
-                sx_planes[c], wz, preferred_element_type=jnp.float32
+                sx_planes[c], wz, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
             )  # (fyp, czp)
             out_c = jnp.dot(
-                wy.T, tmp.astype(dtype), preferred_element_type=jnp.float32
+                wy.T, tmp.astype(dtype), preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
             )  # (cyp, czp)
             oslab[c] = out_c.astype(dtype)
 
@@ -543,10 +547,12 @@ def _prolong_call(
         vsl = vs[...]
         for q in range(txw):
             tmp = jnp.dot(
-                ex[q], pz, preferred_element_type=jnp.float32
+                ex[q], pz, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
             )  # (cyp, fzp)
             e_q = jnp.dot(
-                py.T, tmp.astype(dtype), preferred_element_type=jnp.float32
+                py.T, tmp.astype(dtype), preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
             )  # (fyp, fzp)
             os_[q] = vsl[q] + e_q.astype(dtype)
 

@@ -1,0 +1,582 @@
+"""The whole multigrid V-cycle as ONE Pallas TPU mega-kernel.
+
+Motivation: per-kernel launch overhead dominates a V-cycle built from ~30
+individual kernels (measured ~3 ms per launch in the tunneled-TPU bench
+environment, and still microseconds each on bare metal); and a single kernel
+lets the DMA pipeline run uninterrupted across ops.  This kernel executes the
+complete cycle — pre-smoothing, residual, restriction, coarse smoothing,
+prolongation+correction, post-smoothing, final residual norm — for every
+level in one launch, with all level arrays updated in place
+(``input_output_aliases``).
+
+Reference semantics: src/cpu/CpuSolver.cpp:85-139 (V-cycle),
+:141-179 (Jacobi), :45-83 (residual), :211-238 (restriction),
+:240-290 (interpolation); Newton-mode smoothing :166-172.
+
+Structure:
+  * Single program (``grid=()``); per-op tile loops are ``lax.fori_loop``s
+    over x-slabs, so the trace stays compact at any grid size.
+  * VMEM scratch is a fixed set of slab buffers sized for the finest level;
+    coarser levels DMA into aligned subviews.
+  * Jacobi sweeps ping-pong between each level's v and r HBM buffers —
+    zero HBM traffic beyond the roofline minimum, no allocation, and the
+    (static) final buffer assignment is reported back to the caller.
+  * Down-leg smoothing at coarse levels starts from v=0 (reference
+    :100-101), so the first sweep is specialised to read only f.
+
+Supported modes: LINEAR and NEWTON (FAS falls back to the per-op kernels in
+ops.pallas_kernels; its extra tau-correction traffic is coarse-level only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpusolve_tpu.config import GridParams, Mode
+from gpusolve_tpu.grid import alloc_shape
+
+# VMEM budget for the slab buffers (bytes); the rest is headroom for Mosaic.
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _roll(x, shift: int, axis: int):
+    shift = shift % x.shape[axis]
+    try:
+        return pltpu.roll(x, shift, axis)
+    except Exception:  # interpret mode fallback
+        return jnp.roll(x, shift, axis=axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
+    """Build the mega-kernel for a given (params-key, level-dims) pair.
+
+    Returns ``(call, final_locs)`` where ``final_locs[l]`` says which output
+    buffer (0 = the v ref, 1 = the r ref) holds the level's v value after the
+    cycle (the other holds r / dead scratch).
+    """
+    (stencil_values, stencil_offsets, mode, omega, gamma,
+     pre, post) = key
+    dims = dims_key
+    taps = tuple(zip(stencil_values, stencil_offsets))
+    dtype = jnp.dtype(dtype_name)
+    nlev = len(dims)
+    has_nv = mode == Mode.NEWTON
+    shapes = [alloc_shape(d) for d in dims]
+    hs = [1.0 / (d[1] + 1) for d in dims]
+
+    y0, z0 = shapes[0][1], shapes[0][2]
+    plane0 = y0 * z0 * dtype.itemsize
+    # Equal-sized slab buffers of B finest-level planes each: vs and fs
+    # (+ nvs for Newton).  Outputs are written back in place into the
+    # just-consumed buffer planes, and all compute is per-output-plane, so
+    # Mosaic's vector stack stays within a few planes.
+    nbuf = 3 + (1 if has_nv else 0)
+    B = max(3, _VMEM_BUDGET // plane0 // nbuf // 2)
+    B = min(B, 18)
+
+    n_arr = 3 + (1 if has_nv else 0)  # v, f, r [, nv] per level
+
+    # ---- static schedule bookkeeping -------------------------------------
+    # locs[l]: 0 -> v value currently in the v ref, 1 -> in the r ref.
+    locs = [0] * nlev
+    ops: List[tuple] = []
+
+    def emit_smooth(l, n_iter, from_zero):
+        nonlocal locs
+        for s in range(n_iter):
+            if from_zero and s == 0:
+                ops.append(("smooth0", l, 0))  # write v ref directly
+                locs[l] = 0
+            else:
+                src = locs[l]
+                ops.append(("smooth", l, src, 1 - src))
+                locs[l] = 1 - locs[l]
+
+    # Down-leg.
+    for l in range(nlev - 1):
+        emit_smooth(l, pre, from_zero=l > 0)
+        # residual into the non-v buffer; restrict it to f_{l+1}
+        ops.append(("residual", l, locs[l], 1 - locs[l], False))
+        ops.append(("restrict", l, 1 - locs[l]))
+    # Coarsest.
+    emit_smooth(nlev - 1, pre + post, from_zero=True)
+    # Up-leg.
+    for l in range(nlev - 1, 0, -1):
+        # prolong coarse v into fine v (fused correction); dst = non-v buf
+        ops.append(
+            ("prolong", l, locs[l], locs[l - 1], 1 - locs[l - 1])
+        )
+        locs[l - 1] = 1 - locs[l - 1]
+        emit_smooth(l - 1, post, from_zero=False)
+    ops.append(("residual", 0, locs[0], 1 - locs[0], True))
+    final_locs = tuple(locs)
+
+    inv_h2 = [1.0 / (h * h) for h in hs]
+    pre_fac = [stencil_values[0] * ih for ih in inv_h2]
+    alpha = [(h * h) / stencil_values[0] for h in hs]
+
+    def kernel(*refs):
+        ins = refs[: nlev * n_arr]
+        outs = refs[nlev * n_arr : 2 * nlev * n_arr]
+        sum_ref = refs[2 * nlev * n_arr]
+        vs, fs, os_, *rest = refs[2 * nlev * n_arr + 1 :]
+        if has_nv:
+            nvs, acc, sem = rest
+        else:
+            acc, sem = rest
+            nvs = None
+
+        def buf(l, which):
+            # which: 0 = v ref, 1 = f ref, 2 = r ref, 3 = nv ref.
+            return outs[l * n_arr + which]
+
+        def vbuf(l, loc):
+            return buf(l, 0) if loc == 0 else buf(l, 2)
+
+        def copy_in(ref, start, n, dst, slot, yl, zl, s, start_now=True):
+            cp = pltpu.make_async_copy(
+                ref.at[pl.ds(start, n)],
+                dst.at[slot, pl.ds(0, n), :yl, :zl],
+                sem.at[s, slot],
+            )
+            if start_now:
+                cp.start()
+            return cp
+
+        def copy_out(src, slot, n, yl, zl, ref, start, s, start_now=True):
+            cp = pltpu.make_async_copy(
+                src.at[slot, pl.ds(0, n), :yl, :zl],
+                ref.at[pl.ds(start, n)],
+                sem.at[s, slot],
+            )
+            if start_now:
+                cp.start()
+            return cp
+
+        def keep_mask(shape, ny, nz):
+            yi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            return (yi >= 1) & (yi <= ny) & (zi >= 1) & (zi <= nz)
+
+        def plane_stencil(l, slot, c, yl, zl):
+            """A·v/h² for output plane c of the current vs slab.
+
+            Single-plane values only (keeps Mosaic's vector stack small);
+            taps sharing a coefficient are summed before the multiply and
+            1/h² is folded into the coefficients, so the common symmetric
+            7-point stencil costs 2 multiplies instead of 8.
+            """
+            groups = {}
+            for val, off in taps:
+                groups.setdefault(val * inv_h2[l], []).append(off)
+            s = None
+            for coeff, offs in groups.items():
+                g = None
+                for (ox, oy, oz) in offs:
+                    term = vs[slot, 1 + c + ox, :yl, :zl]
+                    if oy:
+                        term = _roll(term, -oy, 0)
+                    if oz:
+                        term = _roll(term, -oz, 1)
+                    g = term if g is None else g + term
+                term = coeff * g
+                s = term if s is None else s + term
+            return s
+
+        # ---- op implementations ------------------------------------------
+        def op_smooth(l, src_loc, dst_loc, zero_start):
+            nx, ny, nz = dims[l]
+            _, yl, zl = shapes[l]
+            tx = min(B - 2, nx)
+            ntx = _cdiv(nx, tx)
+            src = vbuf(l, src_loc) if not zero_start else None
+            dst = vbuf(l, dst_loc)
+            fref = buf(l, 1)
+            nvref = buf(l, 3) if has_nv else None
+            w_lin = omega * alpha[l]
+            keep = keep_mask((yl, zl), ny, nz)
+            zero_plane = jnp.zeros((yl, zl), dtype)
+
+            def start_in(t, slot):
+                sx = jnp.minimum(t * tx, nx - tx)
+                if not zero_start:
+                    copy_in(src, sx, tx + 2, vs, slot, yl, zl, 0)
+                copy_in(fref, sx + 1, tx, fs, slot, yl, zl, 1)
+                if has_nv:
+                    copy_in(nvref, sx + 1, tx, nvs, slot, yl, zl, 2)
+
+            start_in(0, 0)
+
+            def body(t, _):
+                slot = jax.lax.rem(t, 2)
+                sx = jnp.minimum(t * tx, nx - tx)
+
+                @pl.when(t + 1 < ntx)
+                def _():
+                    start_in(t + 1, jax.lax.rem(t + 1, 2))
+
+                if not zero_start:
+                    copy_in(
+                        src, sx, tx + 2, vs, slot, yl, zl, 0,
+                        start_now=False,
+                    ).wait()
+                copy_in(
+                    fref, sx + 1, tx, fs, slot, yl, zl, 1, start_now=False
+                ).wait()
+                if has_nv:
+                    copy_in(
+                        nvref, sx + 1, tx, nvs, slot, yl, zl, 2,
+                        start_now=False,
+                    ).wait()
+
+                # The output stages through this slot's os planes; make sure
+                # its previous out-DMA (tile t-2) has drained.
+                @pl.when(t >= 2)
+                def _():
+                    copy_out(
+                        os_, slot, tx, yl, zl, dst,
+                        jnp.minimum((t - 2) * tx, nx - tx) + 1, 3,
+                        start_now=False,
+                    ).wait()
+
+                for c in range(tx):
+                    fint = fs[slot, c, :yl, :zl]
+                    if zero_start:
+                        # v = 0: the residual is just f.
+                        if mode == Mode.LINEAR:
+                            newv = w_lin * fint
+                        else:  # NEWTON with v=0
+                            nvi = nvs[slot, c, :yl, :zl]
+                            lin = gamma * (1.0 + nvi) * jnp.exp(nvi)
+                            newv = omega * (fint / (pre_fac[l] + lin))
+                    else:
+                        av = plane_stencil(l, slot, c, yl, zl)
+                        center = vs[slot, 1 + c, :yl, :zl]
+                        if mode == Mode.LINEAR:
+                            newv = center + w_lin * (fint - av)
+                        else:
+                            nvi = nvs[slot, c, :yl, :zl]
+                            ex = jnp.exp(nvi)
+                            lin = gamma * (1.0 + nvi) * ex
+                            rr = fint - (av + lin * center)
+                            newv = center + omega * (
+                                rr / (pre_fac[l] + lin)
+                            )
+                    os_[slot, c, :yl, :zl] = jnp.where(
+                        keep, newv, zero_plane
+                    )
+                copy_out(os_, slot, tx, yl, zl, dst, sx + 1, 3)
+                return 0
+
+            jax.lax.fori_loop(0, ntx, body, 0)
+            # Drain the last (up to) two in-flight out-DMAs.
+            for back in (2, 1):
+                if ntx - back >= 0:
+                    t_last = ntx - back
+                    copy_out(
+                        os_, t_last % 2, tx, yl, zl, dst,
+                        jnp.minimum(t_last * tx, nx - tx) + 1, 3,
+                        start_now=False,
+                    ).wait()
+
+        def op_residual(l, v_loc, dst_loc, with_norm):
+            nx, ny, nz = dims[l]
+            _, yl, zl = shapes[l]
+            tx = min(B - 2, nx)
+            ntx = _cdiv(nx, tx)
+            src = vbuf(l, v_loc)
+            dst = vbuf(l, dst_loc)
+            fref = buf(l, 1)
+            nvref = buf(l, 3) if has_nv else None
+            keep = keep_mask((yl, zl), ny, nz)
+            zero_plane = jnp.zeros((yl, zl), dtype)
+
+            def start_in(t, slot):
+                sx = jnp.minimum(t * tx, nx - tx)
+                copy_in(src, sx, tx + 2, vs, slot, yl, zl, 0)
+                copy_in(fref, sx + 1, tx, fs, slot, yl, zl, 1)
+                if has_nv:
+                    copy_in(nvref, sx + 1, tx, nvs, slot, yl, zl, 2)
+
+            start_in(0, 0)
+
+            def body(t, carry):
+                slot = jax.lax.rem(t, 2)
+                sx = jnp.minimum(t * tx, nx - tx)
+
+                @pl.when(t + 1 < ntx)
+                def _():
+                    start_in(t + 1, jax.lax.rem(t + 1, 2))
+
+                copy_in(
+                    src, sx, tx + 2, vs, slot, yl, zl, 0, start_now=False
+                ).wait()
+                copy_in(
+                    fref, sx + 1, tx, fs, slot, yl, zl, 1, start_now=False
+                ).wait()
+                if has_nv:
+                    copy_in(
+                        nvref, sx + 1, tx, nvs, slot, yl, zl, 2,
+                        start_now=False,
+                    ).wait()
+
+                @pl.when(t >= 2)
+                def _():
+                    copy_out(
+                        os_, slot, tx, yl, zl, dst,
+                        jnp.minimum((t - 2) * tx, nx - tx) + 1, 3,
+                        start_now=False,
+                    ).wait()
+
+                part = carry
+                for c in range(tx):
+                    av = plane_stencil(l, slot, c, yl, zl)
+                    if has_nv:
+                        nvi = nvs[slot, c, :yl, :zl]
+                        center = vs[slot, 1 + c, :yl, :zl]
+                        av = av + gamma * (1.0 + nvi) * center * jnp.exp(
+                            nvi
+                        )
+                    rr = jnp.where(
+                        keep, fs[slot, c, :yl, :zl] - av, zero_plane
+                    )
+                    os_[slot, c, :yl, :zl] = rr
+                    if with_norm:
+                        # Clamped tiles overlap in x; skip re-counted planes.
+                        fresh = (t * tx - sx) <= c
+                        part = part + jnp.where(
+                            fresh,
+                            jnp.sum(rr.astype(jnp.float32) ** 2),
+                            0.0,
+                        )
+                copy_out(os_, slot, tx, yl, zl, dst, sx + 1, 3)
+                return part
+
+            total = jax.lax.fori_loop(0, ntx, body, jnp.float32(0.0))
+            for back in (2, 1):
+                if ntx - back >= 0:
+                    t_last = ntx - back
+                    copy_out(
+                        os_, t_last % 2, tx, yl, zl, dst,
+                        jnp.minimum(t_last * tx, nx - tx) + 1, 3,
+                        start_now=False,
+                    ).wait()
+            if with_norm:
+                acc[0, 0] = total
+
+        def op_restrict(l, r_loc):
+            # fine level l residual (in buffer r_loc) -> coarse f_{l+1}
+            cnx, cny, cnz = dims[l + 1]
+            _, fyl, fzl = shapes[l]
+            _, cyl, czl = shapes[l + 1]
+            txc = min((B - 1) // 2, cnx)
+            ntx = _cdiv(cnx, txc)
+            src = vbuf(l, r_loc)
+            dst = buf(l + 1, 1)
+
+            wy = _restrict_matrix(fyl, cyl, cny, dtype)
+            wz = _restrict_matrix(fzl, czl, cnz, dtype)
+
+            def body(t, _):
+                sx = jnp.minimum(t * txc, cnx - txc)
+                cp = copy_in(src, 2 * sx + 1, 2 * txc + 1, vs, 0, fyl,
+                             fzl, 0)
+                cp.wait()
+                for c in range(txc):
+                    # 1-D x full weighting from fine slab planes 2c..2c+2,
+                    # then y/z as banded matmuls on the idle MXU.
+                    sx_c = (
+                        0.25 * vs[0, 2 * c, :fyl, :fzl]
+                        + 0.5 * vs[0, 2 * c + 1, :fyl, :fzl]
+                        + 0.25 * vs[0, 2 * c + 2, :fyl, :fzl]
+                    )
+                    tmp = jnp.dot(
+                        sx_c, wz, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    out_c = jnp.dot(
+                        wy.T, tmp.astype(dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    # Fine planes < 2c+1 are consumed; reuse plane c of the
+                    # slab buffer as the output staging area.
+                    fs[0, c, :cyl, :czl] = out_c.astype(dtype)
+                copy_out(fs, 0, txc, cyl, czl, dst, sx + 1, 3).wait()
+                return 0
+
+            jax.lax.fori_loop(0, ntx, body, 0)
+
+        def op_prolong(l, cv_loc, fv_loc, dst_loc):
+            # coarse level l v -> fine level l-1 v (fused += correction)
+            fnx, fny, fnz = dims[l - 1]
+            _, fyl, fzl = shapes[l - 1]
+            _, cyl, czl = shapes[l]
+            tx = max(2, min(B - 1, fnx - fnx % 2))
+            tx -= tx % 2
+            ntx = _cdiv(fnx, tx)
+            txw = tx + (fnx - tx) % 2
+            hcx = (txw + 3) // 2
+            csrc = vbuf(l, cv_loc)
+            fsrc = vbuf(l - 1, fv_loc)
+            dst = vbuf(l - 1, dst_loc)
+            py = _prolong_matrix(cyl, fyl, fny, dtype)
+            pz = _prolong_matrix(czl, fzl, fnz, dtype)
+
+            def body(t, _):
+                sx = jnp.minimum(t * tx, fnx - txw)
+                sx = sx - sx % 2
+                cpc = copy_in(csrc, sx // 2, hcx, fs, 0, cyl, czl, 0)
+                cpv = copy_in(fsrc, sx + 1, txw, vs, 0, fyl, fzl, 1)
+                cpc.wait()
+                cpv.wait()
+                for q in range(txw):
+                    # fine row q (even-aligned tile): q even ->
+                    # (c[q/2]+c[q/2+1])/2, q odd -> c[(q+1)/2]
+                    if q % 2 == 0:
+                        ex_q = 0.5 * (
+                            fs[0, q // 2, :cyl, :czl]
+                            + fs[0, q // 2 + 1, :cyl, :czl]
+                        )
+                    else:
+                        ex_q = fs[0, (q + 1) // 2, :cyl, :czl]
+                    tmp = jnp.dot(
+                        ex_q, pz, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    e_q = jnp.dot(
+                        py.T, tmp.astype(dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    vs[0, q, :fyl, :fzl] = vs[0, q, :fyl, :fzl] + \
+                        e_q.astype(dtype)
+                copy_out(vs, 0, txw, fyl, fzl, dst, sx + 1, 3).wait()
+                return 0
+
+            jax.lax.fori_loop(0, ntx, body, 0)
+
+        # ---- run the schedule --------------------------------------------
+        for op in ops:
+            if op[0] == "smooth0":
+                op_smooth(op[1], None, op[2], zero_start=True)
+            elif op[0] == "smooth":
+                op_smooth(op[1], op[2], op[3], zero_start=False)
+            elif op[0] == "residual":
+                op_residual(op[1], op[2], op[3], op[4])
+            elif op[0] == "restrict":
+                op_restrict(op[1], op[2])
+            elif op[0] == "prolong":
+                op_prolong(op[1], op[2], op[3], op[4])
+        sum_ref[0, 0] = acc[0, 0]
+
+    n_in = nlev * n_arr
+    scratch = [
+        pltpu.VMEM((2, B, y0, z0), dtype),
+        pltpu.VMEM((2, B, y0, z0), dtype),
+        pltpu.VMEM((2, B, y0, z0), dtype),
+    ]
+    if has_nv:
+        scratch.append(pltpu.VMEM((2, B, y0, z0), dtype))
+    scratch.append(pltpu.SMEM((1, 1), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
+
+    out_shapes = []
+    out_specs = []
+    for l in range(nlev):
+        for _ in range(n_arr):
+            out_shapes.append(jax.ShapeDtypeStruct(shapes[l], dtype))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_in,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        input_output_aliases={i: i for i in range(n_in)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    return call, final_locs
+
+
+def _restrict_matrix(fp, cp_, cn, dtype):
+    ff = jax.lax.broadcasted_iota(jnp.int32, (fp, cp_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (fp, cp_), 1)
+    d = ff - 2 * cc
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    valid = (cc >= 1) & (cc <= cn)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+def _prolong_matrix(cp_, fp, fn, dtype):
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 1)
+    d = mm - 2 * cc
+    w = jnp.where(d == 0, 1.0, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.5, w)
+    valid = (mm >= 1) & (mm <= fn)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+def supported(params: GridParams) -> bool:
+    return params.mode in (Mode.LINEAR, Mode.NEWTON)
+
+
+def vcycle_fused(state_levels, params: GridParams, interpret: bool = False):
+    """Run one full V-cycle as a single kernel launch.
+
+    ``state_levels``: sequence of GridLevel.  Returns
+    ``(new_levels_fields, sumsq)`` where new_levels_fields is a list of
+    (v, f, r) [+ (newton_v,)] tuples per level.
+    """
+    key = (
+        params.stencil.values,
+        params.stencil.offsets,
+        params.mode,
+        params.omega,
+        params.gamma,
+        params.pre_smoothing,
+        params.post_smoothing,
+    )
+    dims_key = params.level_dims()
+    dtype_name = state_levels[0].v.dtype.name
+    call, final_locs = _vcycle_call(key, dims_key, dtype_name, interpret)
+
+    has_nv = params.mode == Mode.NEWTON
+    args = []
+    for lvl in state_levels:
+        args.extend([lvl.v, lvl.f, lvl.r])
+        if has_nv:
+            args.append(lvl.newton_v)
+    outs = call(*args)
+    n_arr = 4 if has_nv else 3
+    sumsq = outs[-1][0, 0]
+    fields = []
+    for l in range(len(state_levels)):
+        o = outs[l * n_arr : (l + 1) * n_arr]
+        v_out = o[0] if final_locs[l] == 0 else o[2]
+        r_out = o[2] if final_locs[l] == 0 else o[0]
+        if has_nv:
+            fields.append((v_out, o[1], r_out, o[3]))
+        else:
+            fields.append((v_out, o[1], r_out))
+    return fields, sumsq

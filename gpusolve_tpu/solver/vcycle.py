@@ -156,6 +156,50 @@ def vcycle(
     )
 
 
+def use_fused(params: GridParams, shardings) -> bool:
+    """Whole-cycle mega-kernel eligibility: single device, LINEAR/NEWTON,
+    pallas-capable backend, and a finest level big enough to matter."""
+    if shardings is not None or params.backend == "xla":
+        return False
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+
+    if not pv.supported(params):
+        return False
+    n = 1
+    for d in params.grid_dim:
+        n *= d
+    if n < 48 ** 3:
+        return False
+    if params.backend == "pallas":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def vcycle_fused(
+    state: GridState, params: GridParams
+) -> Tuple[GridState, jax.Array]:
+    """One V-cycle as a single Pallas mega-kernel launch
+    (gpusolve_tpu.ops.pallas_vcycle)."""
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+
+    fields, sumsq = pv.vcycle_fused(state.levels, params)
+    levels = []
+    for lvl, f in zip(state.levels, fields):
+        if params.mode == Mode.NEWTON:
+            v, ff, r, nv = f
+            levels.append(
+                dataclasses.replace(lvl, v=v, f=ff, r=r, newton_v=nv)
+            )
+        else:
+            v, ff, r = f
+            levels.append(dataclasses.replace(lvl, v=v, f=ff, r=r))
+    return (
+        dataclasses.replace(state, levels=tuple(levels)),
+        jnp.sqrt(sumsq.astype(state.levels[0].v.dtype)),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def residual_norm(
     state: GridState, params: GridParams
@@ -190,10 +234,14 @@ def solve(
     if params.print_progress:
         print(f"Inital residual: {initial:.6g}")
 
+    fused = use_fused(params, shardings)
     history = [initial]
     for i in range(params.maxiter):
         t0 = time.perf_counter()
-        state, res = vcycle(state, params=tp, shardings=shardings)
+        if fused:
+            state, res = vcycle_fused(state, params=tp)
+        else:
+            state, res = vcycle(state, params=tp, shardings=shardings)
         res = float(res)  # the once-per-cycle device sync
         history.append(res)
         if params.print_progress:

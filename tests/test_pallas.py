@@ -196,3 +196,45 @@ def test_vcycle_pallas_backend_matches_xla():
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize(
+    "mode", [Mode.LINEAR, Mode.NEWTON], ids=["linear", "newton"]
+)
+def test_vcycle_fused_matches_xla(mode):
+    # The whole-cycle mega-kernel (interpret mode) must match the XLA
+    # V-cycle bit-for-bit-ish at equal dtype.
+    from gpusolve_tpu import build_grid
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+    from gpusolve_tpu.solver import vcycle as vc
+
+    dims = (31, 31, 31)
+    p = make_params(mode, dims, backend="xla")
+    state = build_grid(p)
+    if mode == Mode.NEWTON:
+        # give newton_v a nonzero linearisation point
+        rng = np.random.default_rng(7)
+        lvl0 = state.levels[0]
+        import dataclasses
+
+        state = dataclasses.replace(
+            state,
+            levels=(
+                dataclasses.replace(
+                    lvl0, newton_v=rand_padded(rng, dims, 0.2)
+                ),
+            )
+            + state.levels[1:],
+        )
+
+    want_state, want_res = vc.vcycle(
+        state, params=vc.trace_params(p), shardings=None
+    )
+
+    fields, sumsq = pv.vcycle_fused(state.levels, p, interpret=True)
+    got_res = float(jnp.sqrt(sumsq))
+    assert got_res == pytest.approx(float(want_res), rel=2e-4)
+    got_v = np.asarray(fields[0][0])
+    want_v = np.asarray(want_state.levels[0].v)
+    scale = np.abs(want_v).max() + 1e-30
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5 * scale)
