@@ -131,7 +131,15 @@ def prolong_add_op(
 
 
 def apply_stencil_fas(
-    v: Array, dims: Dims, params: GridParams, h: float
+    v: Array,
+    dims: Dims,
+    params: GridParams,
+    h: float,
+    dead: Optional[Array] = None,
 ) -> Array:
     """FAS coarse-operator application (A(v)/h² + γ·v·e^v)."""
-    return xla.apply_stencil_fas(v, dims, params, h)
+    if dead is None or not use_pallas(params, dims):
+        return xla.apply_stencil_fas(v, dims, params, h)
+    from gpusolve_tpu.ops import pallas_kernels as pk
+
+    return pk.apply_stencil_fas(dead, v, dims, params, h)

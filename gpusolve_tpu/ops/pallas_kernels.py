@@ -230,7 +230,8 @@ def jacobi_sweep(
 
 @functools.lru_cache(maxsize=None)
 def _residual_call(
-    shape, dims, dtype_name, key, h: float, with_norm: bool, interpret: bool
+    shape, dims, dtype_name, key, h: float, with_norm: bool, interpret: bool,
+    apply_mode: bool = False,
 ):
     stencil_values, stencil_offsets, mode, omega, gamma = key
     taps = tuple(zip(stencil_values, stencil_offsets))
@@ -246,7 +247,16 @@ def _residual_call(
     ntx = _cdiv(nx, tx)
 
     def kernel(*refs):
-        if has_nv:
+        if apply_mode:
+            if has_nv:
+                (_, v_ref, nv_ref, out_ref, sum_ref,
+                 vs, fs, nvs, os_, acc, sem) = refs
+            else:
+                (_, v_ref, out_ref, sum_ref,
+                 vs, fs, os_, acc, sem) = refs
+                nvs = None
+            f_ref = None
+        elif has_nv:
             (_, v_ref, f_ref, nv_ref, out_ref, sum_ref,
              vs, fs, nvs, os_, acc, sem) = refs
         else:
@@ -259,11 +269,12 @@ def _residual_call(
         cp_v = pltpu.make_async_copy(
             v_ref.at[pl.ds(sx, tx + 2)], vs, sem.at[0]
         )
-        cp_f = pltpu.make_async_copy(
-            f_ref.at[pl.ds(sx + 1, tx)], fs, sem.at[1]
-        )
         cp_v.start()
-        cp_f.start()
+        if not apply_mode:
+            cp_f = pltpu.make_async_copy(
+                f_ref.at[pl.ds(sx + 1, tx)], fs, sem.at[1]
+            )
+            cp_f.start()
         if has_nv:
             cp_nv = pltpu.make_async_copy(
                 nv_ref.at[pl.ds(sx + 1, tx)], nvs, sem.at[2]
@@ -271,7 +282,8 @@ def _residual_call(
             cp_nv.start()
             cp_nv.wait()
         cp_v.wait()
-        cp_f.wait()
+        if not apply_mode:
+            cp_f.wait()
 
         slab = vs[...]
         center = slab[1 : 1 + tx]
@@ -281,7 +293,12 @@ def _residual_call(
         elif has_nv:
             nvi = nvs[...]
             av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
-        r = _interior_mask((tx, yp, zp), ny, nz, fs[...] - av)
+        if apply_mode:
+            # A(v)/h² + mode term itself (reference applyStencil,
+            # src/cpu/CpuSolver.cpp:182-209)
+            r = _interior_mask((tx, yp, zp), ny, nz, av)
+        else:
+            r = _interior_mask((tx, yp, zp), ny, nz, fs[...] - av)
         os_[...] = r
 
         cp_o = pltpu.make_async_copy(
@@ -317,7 +334,7 @@ def _residual_call(
 
         cp_o.wait()
 
-    n_in = 3 + (1 if has_nv else 0)
+    n_in = (2 if apply_mode else 3) + (1 if has_nv else 0)
     scratch = [
         pltpu.VMEM((tx + 2, yp, zp), dtype),
         pltpu.VMEM((tx, yp, zp), dtype),
@@ -344,6 +361,22 @@ def _residual_call(
         input_output_aliases={0: 0},
         interpret=interpret,
     )
+
+
+def apply_stencil_fas(
+    dead, v, dims, params: GridParams, h: float, interpret: bool = False
+):
+    """FAS operator application A(v)/h² + γ·v·e^v (reference:
+    src/cpu/CpuSolver.cpp:182-209) — the NONLINEAR residual kernel with the
+    f stream removed and the sign kept positive.  Aliased into ``dead``."""
+    nl = params if params.mode == Mode.NONLINEAR else None
+    assert nl is not None, "apply_stencil_fas is a NONLINEAR-mode op"
+    call = _residual_call(
+        v.shape, dims, v.dtype.name, _compile_key(params), h,
+        False, interpret, True,
+    )
+    r, _ = call(dead, v)
+    return r
 
 
 def residual(

@@ -24,8 +24,10 @@ Structure:
   * Down-leg smoothing at coarse levels starts from v=0 (reference
     :100-101), so the first sweep is specialised to read only f.
 
-Supported modes: LINEAR and NEWTON (FAS falls back to the per-op kernels in
-ops.pallas_kernels; its extra tau-correction traffic is coarse-level only).
+Supported modes: LINEAR, NEWTON and NONLINEAR (FAS: the tau correction
+``f²ʰ = R(r) + A²ʰ(R v) + γ (R v) e^{R v}`` runs as one fused coarse pass,
+and the up-leg ``v²ʰ − restV²ʰ`` subtraction folds into the prolongation's
+coarse read — reference :100-113 and :121-125).
 """
 
 from __future__ import annotations
@@ -72,6 +74,7 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
     dtype = jnp.dtype(dtype_name)
     nlev = len(dims)
     has_nv = mode == Mode.NEWTON
+    has_rv = mode == Mode.NONLINEAR
     shapes = [alloc_shape(d) for d in dims]
     hs = [1.0 / (d[1] + 1) for d in dims]
 
@@ -85,7 +88,8 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
     B = max(3, _VMEM_BUDGET // plane0 // nbuf // 2)
     B = min(B, 18)
 
-    n_arr = 3 + (1 if has_nv else 0)  # v, f, r [, nv] per level
+    # per-level refs: v, f, r [, newton_v (NEWTON) | rest_v (NONLINEAR)]
+    n_arr = 3 + (1 if (has_nv or has_rv) else 0)
 
     # ---- static schedule bookkeeping -------------------------------------
     # locs[l]: 0 -> v value currently in the v ref, 1 -> in the r ref.
@@ -105,15 +109,25 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
 
     # Down-leg.
     for l in range(nlev - 1):
-        emit_smooth(l, pre, from_zero=l > 0)
-        # residual into the non-v buffer; restrict it to f_{l+1}
+        emit_smooth(l, pre, from_zero=(l > 0 and not has_rv))
+        # residual into the non-v buffer
         ops.append(("residual", l, locs[l], 1 - locs[l], False))
-        ops.append(("restrict", l, 1 - locs[l]))
+        if not has_rv:
+            # restrict r to f_{l+1}
+            ops.append(("restrict", l, 1 - locs[l]))
+        else:
+            # FAS (reference :100-113): v²ʰ = restV²ʰ = R(v); then
+            # f²ʰ = R(r) + A²ʰ(restV) + γ restV e^{restV} in one pass.
+            ops.append(("restrict_v", l, locs[l]))
+            locs[l + 1] = 0
+            ops.append(("fas_f", l, 1 - locs[l]))
     # Coarsest.
-    emit_smooth(nlev - 1, pre + post, from_zero=True)
+    emit_smooth(nlev - 1, pre + post, from_zero=not has_rv)
     # Up-leg.
     for l in range(nlev - 1, 0, -1):
-        # prolong coarse v into fine v (fused correction); dst = non-v buf
+        # prolong coarse v into fine v (fused correction); dst = non-v buf.
+        # FAS: the coarse operand is v²ʰ − restV²ʰ (reference :121-125),
+        # folded into the prolongation's coarse read.
         ops.append(
             ("prolong", l, locs[l], locs[l - 1], 1 - locs[l - 1])
         )
@@ -169,7 +183,7 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
             zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
             return (yi >= 1) & (yi <= ny) & (zi >= 1) & (zi <= nz)
 
-        def plane_stencil(l, slot, c, yl, zl):
+        def plane_stencil(l, slot, c, yl, zl, sbuf=None):
             """A·v/h² for output plane c of the current vs slab.
 
             Single-plane values only (keeps Mosaic's vector stack small);
@@ -181,10 +195,12 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
             for val, off in taps:
                 groups.setdefault(val * inv_h2[l], []).append(off)
             s = None
+            if sbuf is None:
+                sbuf = vs
             for coeff, offs in groups.items():
                 g = None
                 for (ox, oy, oz) in offs:
-                    term = vs[slot, 1 + c + ox, :yl, :zl]
+                    term = sbuf[slot, 1 + c + ox, :yl, :zl]
                     if oy:
                         term = _roll(term, -oy, 0)
                     if oz:
@@ -265,6 +281,12 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         center = vs[slot, 1 + c, :yl, :zl]
                         if mode == Mode.LINEAR:
                             newv = center + w_lin * (fint - av)
+                        elif mode == Mode.NONLINEAR:
+                            # reference :159-165 (tutorial formula 6.14)
+                            ex = jnp.exp(center)
+                            rr = fint - (av + gamma * center * ex)
+                            denom = pre_fac[l] + gamma * (1.0 + center) * ex
+                            newv = center + omega * (rr / denom)
                         else:
                             nvi = nvs[slot, c, :yl, :zl]
                             ex = jnp.exp(nvi)
@@ -348,6 +370,9 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         av = av + gamma * (1.0 + nvi) * center * jnp.exp(
                             nvi
                         )
+                    elif has_rv:
+                        center = vs[slot, 1 + c, :yl, :zl]
+                        av = av + gamma * center * jnp.exp(center)
                     rr = jnp.where(
                         keep, fs[slot, c, :yl, :zl] - av, zero_plane
                     )
@@ -375,15 +400,16 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
             if with_norm:
                 acc[0, 0] = total
 
-        def op_restrict(l, r_loc):
-            # fine level l residual (in buffer r_loc) -> coarse f_{l+1}
+        def op_restrict(l, src_loc, dst=None, dst2=None):
+            # fine level l field (in buffer src_loc) -> coarse level l+1
             cnx, cny, cnz = dims[l + 1]
             _, fyl, fzl = shapes[l]
             _, cyl, czl = shapes[l + 1]
             txc = min((B - 1) // 2, cnx)
             ntx = _cdiv(cnx, txc)
-            src = vbuf(l, r_loc)
-            dst = buf(l + 1, 1)
+            src = vbuf(l, src_loc)
+            if dst is None:
+                dst = buf(l + 1, 1)
 
             wy = _restrict_matrix(fyl, cyl, cny, dtype)
             wz = _restrict_matrix(fzl, czl, cnz, dtype)
@@ -414,6 +440,60 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                     # slab buffer as the output staging area.
                     fs[0, c, :cyl, :czl] = out_c.astype(dtype)
                 copy_out(fs, 0, txc, cyl, czl, dst, sx + 1, 3).wait()
+                if dst2 is not None:
+                    copy_out(
+                        fs, 0, txc, cyl, czl, dst2, sx + 1, 3
+                    ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, ntx, body, 0)
+
+        def op_fas_f(l, r_loc):
+            """FAS coarse RHS in one pass (reference :96-113):
+            f_{l+1} = R(r_l) + A²ʰ(restV)/h² + γ restV e^{restV}."""
+            lc = l + 1
+            cnx, cny, cnz = dims[lc]
+            _, fyl, fzl = shapes[l]
+            _, cyl, czl = shapes[lc]
+            txc = min(min((B - 1) // 2, B - 2), cnx)
+            ntx = _cdiv(cnx, txc)
+            src = vbuf(l, r_loc)
+            rvref = buf(lc, 3)
+            dst = buf(lc, 1)
+            wy = _restrict_matrix(fyl, cyl, cny, dtype)
+            wz = _restrict_matrix(fzl, czl, cnz, dtype)
+            keep = keep_mask((cyl, czl), cny, cnz)
+            zero_plane = jnp.zeros((cyl, czl), dtype)
+
+            def body(t, _):
+                sx = jnp.minimum(t * txc, cnx - txc)
+                cpr = copy_in(src, 2 * sx + 1, 2 * txc + 1, vs, 0, fyl,
+                              fzl, 0)
+                cprv = copy_in(rvref, sx, txc + 2, os_, 0, cyl, czl, 1)
+                cpr.wait()
+                cprv.wait()
+                for c in range(txc):
+                    sx_c = (
+                        0.25 * vs[0, 2 * c, :fyl, :fzl]
+                        + 0.5 * vs[0, 2 * c + 1, :fyl, :fzl]
+                        + 0.25 * vs[0, 2 * c + 2, :fyl, :fzl]
+                    )
+                    tmp = jnp.dot(
+                        sx_c, wz, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    rr_c = jnp.dot(
+                        wy.T, tmp.astype(dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(dtype)
+                    av = plane_stencil(lc, 0, c, cyl, czl, sbuf=os_)
+                    rv_c = os_[0, 1 + c, :cyl, :czl]
+                    fas = av + gamma * rv_c * jnp.exp(rv_c)
+                    fs[0, c, :cyl, :czl] = jnp.where(
+                        keep, rr_c + fas, zero_plane
+                    )
+                copy_out(fs, 0, txc, cyl, czl, dst, sx + 1, 3).wait()
                 return 0
 
             jax.lax.fori_loop(0, ntx, body, 0)
@@ -434,23 +514,35 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
             py = _prolong_matrix(cyl, fyl, fny, dtype)
             pz = _prolong_matrix(czl, fzl, fnz, dtype)
 
+            rvsrc = buf(l, 3) if has_rv else None
+
+            def coarse_plane(m):
+                # FAS up-leg operand is v²ʰ − restV²ʰ (reference :121-125),
+                # computed on the fly from the two slabs.
+                if has_rv:
+                    return fs[0, m, :cyl, :czl] - fs[1, m, :cyl, :czl]
+                return fs[0, m, :cyl, :czl]
+
             def body(t, _):
                 sx = jnp.minimum(t * tx, fnx - txw)
                 sx = sx - sx % 2
                 cpc = copy_in(csrc, sx // 2, hcx, fs, 0, cyl, czl, 0)
+                if has_rv:
+                    cprv = copy_in(rvsrc, sx // 2, hcx, fs, 1, cyl, czl, 2)
                 cpv = copy_in(fsrc, sx + 1, txw, vs, 0, fyl, fzl, 1)
                 cpc.wait()
+                if has_rv:
+                    cprv.wait()
                 cpv.wait()
                 for q in range(txw):
                     # fine row q (even-aligned tile): q even ->
                     # (c[q/2]+c[q/2+1])/2, q odd -> c[(q+1)/2]
                     if q % 2 == 0:
                         ex_q = 0.5 * (
-                            fs[0, q // 2, :cyl, :czl]
-                            + fs[0, q // 2 + 1, :cyl, :czl]
+                            coarse_plane(q // 2) + coarse_plane(q // 2 + 1)
                         )
                     else:
-                        ex_q = fs[0, (q + 1) // 2, :cyl, :czl]
+                        ex_q = coarse_plane((q + 1) // 2)
                     tmp = jnp.dot(
                         ex_q, pz, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
@@ -477,6 +569,14 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                 op_residual(op[1], op[2], op[3], op[4])
             elif op[0] == "restrict":
                 op_restrict(op[1], op[2])
+            elif op[0] == "restrict_v":
+                op_restrict(
+                    op[1], op[2],
+                    dst=buf(op[1] + 1, 0),
+                    dst2=buf(op[1] + 1, 3),
+                )
+            elif op[0] == "fas_f":
+                op_fas_f(op[1], op[2])
             elif op[0] == "prolong":
                 op_prolong(op[1], op[2], op[3], op[4])
         sum_ref[0, 0] = acc[0, 0]
@@ -538,7 +638,7 @@ def _prolong_matrix(cp_, fp, fn, dtype):
 
 
 def supported(params: GridParams) -> bool:
-    return params.mode in (Mode.LINEAR, Mode.NEWTON)
+    return params.mode in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR)
 
 
 def vcycle_fused(state_levels, params: GridParams, interpret: bool = False):
@@ -562,20 +662,23 @@ def vcycle_fused(state_levels, params: GridParams, interpret: bool = False):
     call, final_locs = _vcycle_call(key, dims_key, dtype_name, interpret)
 
     has_nv = params.mode == Mode.NEWTON
+    has_rv = params.mode == Mode.NONLINEAR
     args = []
     for lvl in state_levels:
         args.extend([lvl.v, lvl.f, lvl.r])
         if has_nv:
             args.append(lvl.newton_v)
+        elif has_rv:
+            args.append(lvl.rest_v)
     outs = call(*args)
-    n_arr = 4 if has_nv else 3
+    n_arr = 4 if (has_nv or has_rv) else 3
     sumsq = outs[-1][0, 0]
     fields = []
     for l in range(len(state_levels)):
         o = outs[l * n_arr : (l + 1) * n_arr]
         v_out = o[0] if final_locs[l] == 0 else o[2]
         r_out = o[2] if final_locs[l] == 0 else o[0]
-        if has_nv:
+        if has_nv or has_rv:
             fields.append((v_out, o[1], r_out, o[3]))
         else:
             fields.append((v_out, o[1], r_out))

@@ -108,7 +108,7 @@ def vcycle(
                 i + 1,
             )
             a_coarse = ops.apply_stencil_fas(
-                rest_v, dims[i + 1], params, hs[i + 1]
+                rest_v, dims[i + 1], params, hs[i + 1], dead=nxt.r
             )
             levels[i + 1] = dataclasses.replace(
                 nxt,
@@ -190,6 +190,11 @@ def vcycle_fused(
             v, ff, r, nv = f
             levels.append(
                 dataclasses.replace(lvl, v=v, f=ff, r=r, newton_v=nv)
+            )
+        elif params.mode == Mode.NONLINEAR:
+            v, ff, r, rv = f
+            levels.append(
+                dataclasses.replace(lvl, v=v, f=ff, r=r, rest_v=rv)
             )
         else:
             v, ff, r = f

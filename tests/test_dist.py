@@ -101,15 +101,15 @@ def test_sharded_newton_matches_single_device():
     np.testing.assert_allclose(history, ref_history, rtol=1e-12)
 
 
-def test_sharded_output_has_requested_sharding():
+@pytest.mark.parametrize("dims", [(14, 14, 14), (31, 31, 31)])
+def test_sharded_output_has_requested_sharding(dims):
     # GSPMD only honors a sharding constraint when the dim is divisible by
-    # the mesh axis — with the usual odd padded dims (2^k+1) it silently
-    # replicates, which is why the explicit shard_map halo-exchange engine
-    # (gpusolve_tpu.dist.spmd) is the scaling path.  Here: 14+2=16 divides
-    # evenly, so the sharding must stick.
+    # the mesh axis; the tile-aligned allocation (grid.alloc_shape) makes
+    # every dim a multiple of 8, so shardings stick for power-of-two meshes
+    # even with odd logical grids.
     from gpusolve_tpu.solver import vcycle as vc
 
-    p = make_params(Mode.LINEAR, dims=(14, 14, 14))
+    p = make_params(Mode.LINEAR, dims=dims)
     mesh = make_mesh((2, 2, 2))
     shs = level_shardings(p, mesh, coarse_cutoff=2)
     sstate = shard_state(build_grid(p), shs)

@@ -199,7 +199,9 @@ def test_vcycle_pallas_backend_matches_xla():
 
 
 @pytest.mark.parametrize(
-    "mode", [Mode.LINEAR, Mode.NEWTON], ids=["linear", "newton"]
+    "mode",
+    [Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR],
+    ids=["linear", "newton", "nonlinear"],
 )
 def test_vcycle_fused_matches_xla(mode):
     # The whole-cycle mega-kernel (interpret mode) must match the XLA
@@ -238,3 +240,18 @@ def test_vcycle_fused_matches_xla(mode):
     want_v = np.asarray(want_state.levels[0].v)
     scale = np.abs(want_v).max() + 1e-30
     np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5 * scale)
+
+
+def test_apply_stencil_fas_pallas():
+    rng = np.random.default_rng(9)
+    dims = (28, 21, 26)
+    p = make_params(Mode.NONLINEAR, dims)
+    h = p.level_h(0)
+    v = rand_padded(rng, dims)
+    dead = rand_padded(rng, dims, 9.0)
+    want = xla.apply_stencil_fas(v, dims, p, h)
+    got = pk.apply_stencil_fas(dead, v, dims, p, h, interpret=True)
+    scale = float(np.max(np.abs(np.asarray(want)))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6 * scale
+    )
