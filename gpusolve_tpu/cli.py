@@ -49,6 +49,20 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dump", default=None, metavar="PATH")
     ap.add_argument("--validate", action="store_true")
     ap.add_argument(
+        "--save-state", default=None, metavar="PATH",
+        help="write a resumable checkpoint (.npz) after solving",
+    )
+    ap.add_argument(
+        "--load-state", default=None, metavar="PATH",
+        help="resume from a checkpoint written by --save-state",
+    )
+    ap.add_argument(
+        "--devices", action="store_true",
+        help="print the visible JAX devices before solving (the analogue "
+        "of the reference's OpenCL platform/device enumeration, "
+        "src/sycl/ContextHandles.h:9-33)",
+    )
+    ap.add_argument(
         "--quiet", action="store_true", help="suppress progress lines"
     )
     return ap
@@ -123,6 +137,14 @@ def main(argv=None) -> int:
     else:
         from gpusolve_tpu import build_grid, newton_solve, solve
 
+        if args.devices:
+            import jax
+
+            for i, d in enumerate(jax.devices()):
+                kind = getattr(d, "device_kind", "?")
+                print(f"Device [{i}]: {kind} ({d.platform})")
+            print(f"Using device [0]")
+
         shardings = None
         if args.mesh:
             from gpusolve_tpu.dist import level_shardings, make_mesh
@@ -132,12 +154,39 @@ def main(argv=None) -> int:
             shardings = level_shardings(params, mesh)
 
         state = build_grid(params)
+        history0 = []
+        if args.load_state:
+            from gpusolve_tpu.utils.checkpoint import load_state
+
+            if not os.path.isfile(args.load_state):
+                print(
+                    f"{args.load_state} does not exist or is not a file",
+                    file=sys.stderr,
+                )
+                return 1
+            try:
+                state, it0, history0 = load_state(args.load_state, params)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 1
+            print(f"Resumed from {args.load_state} (iteration {it0})")
         if params.mode == Mode.NEWTON:
-            state, _ = newton_solve(state, params, shardings=shardings)
+            state, history = newton_solve(
+                state, params, shardings=shardings
+            )
             solution = state.levels[0].newton_v
         else:
-            state, _ = solve(state, params, shardings=shardings)
+            state, history = solve(state, params, shardings=shardings)
             solution = state.levels[0].v
+        if args.save_state:
+            from gpusolve_tpu.utils.checkpoint import save_state
+
+            save_state(
+                args.save_state, state, params,
+                iteration=len(history0) + len(history) - 1,
+                history=history0 + history[1:],
+            )
+            print(f"Saved state to {args.save_state}")
         # Slice the tile-aligned allocation down to the logical padded
         # region (gpusolve_tpu.grid.alloc_shape) for dump/validation parity.
         nx, ny, nz = params.grid_dim

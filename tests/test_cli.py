@@ -111,3 +111,66 @@ def test_dump_roundtrip(tmp_path):
 def test_analytic_solution_zero_on_boundary():
     u = analytic_solution((17, 17, 17), 1.0 / 16.0)
     assert np.allclose(u[0], 0) and np.allclose(u[-1], 0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    # Solving N+M cycles straight must equal solving N, checkpointing,
+    # resuming, and solving M (the V-cycle is a stationary iteration).
+    import jax
+
+    from gpusolve_tpu import build_grid, solve
+    from gpusolve_tpu.config import GridParams, Mode, Stencil
+    from gpusolve_tpu.utils.checkpoint import load_state, save_state
+
+    p8 = GridParams(
+        maxiter=6, tol=1e-12, grid_dim=(15, 15, 15), mode=Mode.LINEAR,
+        pre_smoothing=3, post_smoothing=3, omega=0.8, gamma=1.0,
+        stencil=Stencil.poisson_7pt(), dtype="float64",
+        print_progress=False,
+    )
+    _, straight = solve(build_grid(p8), p8)
+
+    p3 = p8.replace(maxiter=3)
+    state, hist1 = solve(build_grid(p3), p3)
+    ck = str(tmp_path / "state.npz")
+    save_state(ck, state, p3, iteration=3, history=hist1)
+    state2, it, hist_saved = load_state(ck, p3)
+    assert it == 3
+    _, hist2 = solve(state2, p3)
+    combined = hist1 + hist2[1:]
+    np.testing.assert_allclose(combined, straight, rtol=1e-12)
+
+
+def test_checkpoint_config_mismatch(tmp_path):
+    from gpusolve_tpu import build_grid
+    from gpusolve_tpu.config import GridParams, Mode, Stencil
+    from gpusolve_tpu.utils.checkpoint import load_state, save_state
+
+    p = GridParams(
+        maxiter=1, tol=1e-5, grid_dim=(15, 15, 15), mode=Mode.LINEAR,
+        pre_smoothing=3, post_smoothing=3, omega=0.8, gamma=1.0,
+        stencil=Stencil.poisson_7pt(), dtype="float64",
+        print_progress=False,
+    )
+    ck = str(tmp_path / "s.npz")
+    save_state(ck, build_grid(p), p)
+    with pytest.raises(ValueError, match="different problem"):
+        load_state(ck, p.replace(grid_dim=(31, 31, 31)))
+
+
+def test_cli_save_load_state(tmp_path):
+    conf = write_conf(tmp_path, mode=0, maxiter=2)
+    ck = str(tmp_path / "ck.npz")
+    r = run_cli([conf, "--quiet", "--save-state", ck])
+    assert r.returncode == 0, r.stderr
+    assert "Saved state to" in r.stdout
+    r2 = run_cli([conf, "--quiet", "--load-state", ck])
+    assert r2.returncode == 0, r2.stderr
+    assert "Resumed from" in r2.stdout
+
+
+def test_cli_devices_flag(tmp_path):
+    conf = write_conf(tmp_path, mode=0, maxiter=1, dim=7)
+    r = run_cli([conf, "--quiet", "--devices"])
+    assert r.returncode == 0, r.stderr
+    assert "Device [0]:" in r.stdout

@@ -255,3 +255,34 @@ def test_apply_stencil_fas_pallas():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6 * scale
     )
+
+
+def test_fused_vcycle_general_stencil():
+    # A non-symmetric 7-point stencil (distinct coefficients per direction)
+    # exercises the general coefficient-grouping path in the kernels — the
+    # stencil is config-driven in the reference (src/main.cpp:63-82).
+    from gpusolve_tpu import build_grid
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+    from gpusolve_tpu.solver import vcycle as vc
+
+    stencil = Stencil(
+        values=(7.0, -1.5, -0.5, -2.0, -1.0, -1.25, -0.75),
+        offsets=(
+            (0, 0, 0), (1, 0, 0), (-1, 0, 0),
+            (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1),
+        ),
+    )
+    p = make_params(Mode.LINEAR, (31, 31, 31), stencil=stencil,
+                    backend="xla")
+    state = build_grid(p)
+    want_state, want_res = vc.vcycle(
+        state, params=vc.trace_params(p), shardings=None
+    )
+    fields, sumsq = pv.vcycle_fused(state.levels, p, interpret=True)
+    assert float(jnp.sqrt(sumsq)) == pytest.approx(
+        float(want_res), rel=2e-4
+    )
+    got_v = np.asarray(fields[0][0])
+    want_v = np.asarray(want_state.levels[0].v)
+    scale = np.abs(want_v).max() + 1e-30
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5 * scale)
