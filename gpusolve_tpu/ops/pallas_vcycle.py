@@ -44,7 +44,7 @@ from gpusolve_tpu.config import GridParams, Mode
 from gpusolve_tpu.grid import alloc_shape
 
 # VMEM budget for the slab buffers (bytes); the rest is headroom for Mosaic.
-_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
 
 
 def _cdiv(a, b):
@@ -610,7 +610,7 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
         scratch_shapes=scratch,
         input_output_aliases={i: i for i in range(n_in)},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )
