@@ -98,7 +98,7 @@ def find_error(
 ) -> GridState:
     """Solve J(ũ)·e = F with a short inner MG solve and update ũ
     (reference: src/cpu/NewtonSolver.cpp:83-108)."""
-    tp = vc.trace_params(params)
+    tp = vc.trace_params(params, shardings)
     state = _prepare_find_error(state, params=tp, shardings=shardings)
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
     state, _ = vc.solve(state, inner, shardings=shardings)
@@ -118,7 +118,7 @@ def newton_solve(
     """
     assert params.mode == Mode.NEWTON
     assert state.newton_f is not None, "build_grid must run in NEWTON mode"
-    tp = vc.trace_params(params)
+    tp = vc.trace_params(params, shardings)
 
     state, initial = comp_f(state, params=tp)
     initial = float(initial)

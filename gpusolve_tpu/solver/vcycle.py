@@ -36,13 +36,20 @@ from gpusolve_tpu.ops import dispatch as ops
 from gpusolve_tpu.utils.timer import Timer
 
 
-def trace_params(params: GridParams) -> GridParams:
+def trace_params(
+    params: GridParams, shardings: Optional[Tuple] = None
+) -> GridParams:
     """Normalise fields the traced computation never reads (maxiter, tol,
     print_progress) so jit caches hit across outer/inner solves — the Newton
     driver temporarily overrides maxiter/tol (src/cpu/NewtonSolver.cpp:94-104)
-    and must not trigger a recompile."""
+    and must not trigger a recompile.
+
+    Sharded (multi-chip) execution forces the XLA op backend: Pallas
+    kernels are single-device programs and do not partition under GSPMD —
+    the SPMD partitioner handles the jnp formulation instead."""
+    backend = "xla" if shardings is not None else params.backend
     return dataclasses.replace(
-        params, maxiter=0, tol=0.0, print_progress=False
+        params, maxiter=0, tol=0.0, print_progress=False, backend=backend
     )
 
 
@@ -233,7 +240,7 @@ def solve(
     Returns the final state and the residual history
     ``[initial, res_0, res_1, ...]``.
     """
-    tp = trace_params(params)
+    tp = trace_params(params, shardings)
     state, initial = residual_norm(state, params=tp)
     initial = float(initial)
     if params.print_progress:
