@@ -119,9 +119,18 @@ def main() -> None:
             return vc.vcycle_fused(state, params=tp)
         return vc.vcycle(state, params=tp, shardings=None)
 
-    # Warm-up: compile + absorb any first-fetch tunnel stall.
-    state, res = cycle(state)
-    float(res)
+    # Warm-up: compile + absorb any first-fetch tunnel stall.  The tunneled
+    # remote-compile service occasionally returns a transient HTTP 500 —
+    # retry a few times before giving up.
+    for attempt in range(3):
+        try:
+            state, res = cycle(state)
+            float(res)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
 
     t0 = time.perf_counter()
     for _ in range(cycles):

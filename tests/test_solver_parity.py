@@ -122,3 +122,21 @@ def test_newton_solution_matches_analytic():
     exact = (X - X * X) * (Y - Y * Y) * (Z - Z * Z)
     err = np.max(np.abs(u[1 : n + 1, 1 : n + 1, 1 : n + 1] - exact))
     assert err < 5e-4
+
+
+@pytest.mark.parametrize(
+    "pre,post,omega,gamma",
+    [(1, 2, 0.7, 1.0), (2, 1, 1.0, 0.5), (4, 0, 0.9, 2.0)],
+)
+def test_parameter_variations_match_oracle(pre, post, omega, gamma):
+    # Exercise asymmetric smoothing counts, undamped omega, and non-unit
+    # gamma through both linear and FAS paths.
+    for mode in (Mode.LINEAR, Mode.NONLINEAR):
+        p = make_params(
+            mode, dims=(15, 15, 15), maxiter=3,
+            pre_smoothing=pre, post_smoothing=post,
+            omega=omega, gamma=gamma,
+        )
+        expected = orc.solve(orc.OracleGrid(p))
+        _, history = solve(build_grid(p), p)
+        np.testing.assert_allclose(history, expected, rtol=1e-8)
