@@ -13,17 +13,25 @@ Coarse levels below a per-shard size threshold are explicitly *replicated*
 of pipeline-stage consolidation, avoiding halo messages larger than the level
 itself (SURVEY.md §5 "long-context" note).
 
-Planned round-2 optimization — explicit shard_map halo engine: replace the
+The explicit engine (gpusolve_tpu.dist.spmd) replaces the
 partitioner-inserted collectives with hand-scheduled ``lax.ppermute`` face
-exchanges (6 per stencil application) inside ``shard_map``, double-buffered
-so interior Pallas compute overlaps the permutes, with mesh-aware per-level
-allocation (coarse alloc = fine alloc / 2 for the distributed levels, so
-restriction/prolongation stay shard-local given a 1-cell halo) and an
-``all_gather`` consolidation at the replication cutoff.  The GSPMD path here
-is the functional baseline it will be benchmarked against.
+exchanges (6 per stencil application — the roofline minimum) inside
+``shard_map``: mesh-aware per-level allocation keeps restriction and
+prolongation shard-local given a one-cell ghost, coarse levels consolidate
+to a replicated layout with ``all_gather``, and norms reduce with ``psum``.
+Currently LINEAR mode; residual sequences match the single-device solver to
+1e-10 on the test mesh.  Round-2 items: FAS/Newton schedules, Pallas-kernel
+local compute, and overlap of interior compute with the permutes.
 """
 
 from gpusolve_tpu.dist.mesh import factor_devices, make_mesh
 from gpusolve_tpu.dist.sharding import level_shardings, shard_state
+from gpusolve_tpu.dist.spmd import solve_spmd
 
-__all__ = ["factor_devices", "make_mesh", "level_shardings", "shard_state"]
+__all__ = [
+    "factor_devices",
+    "make_mesh",
+    "level_shardings",
+    "shard_state",
+    "solve_spmd",
+]

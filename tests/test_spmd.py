@@ -1,0 +1,71 @@
+"""Explicit-halo SPMD engine tests (shard_map + ppermute) on the 8-device
+virtual CPU mesh: residual sequences must equal the single-device solver."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gpusolve_tpu import build_grid, solve
+from gpusolve_tpu.config import GridParams, Mode, Stencil
+from gpusolve_tpu.dist import make_mesh
+from gpusolve_tpu.dist.spmd import SpmdPlan, solve_spmd
+
+
+def make_params(dims=(31, 31, 31), maxiter=4, **kw):
+    defaults = dict(
+        maxiter=maxiter,
+        tol=1e-12,
+        grid_dim=dims,
+        mode=Mode.LINEAR,
+        pre_smoothing=3,
+        post_smoothing=3,
+        omega=0.8,
+        gamma=1.0,
+        stencil=Stencil.poisson_7pt(),
+        dtype="float64",
+        print_progress=False,
+        backend="xla",
+    )
+    defaults.update(kw)
+    return GridParams(**defaults)
+
+
+def test_plan_shapes():
+    p = make_params(dims=(31, 31, 31))
+    plan = SpmdPlan(p, (2, 2, 2), cutoff=4)
+    # 31,15,7,3,1 — distributed while interior//2 >= 4: 31 (15), 15 (7) -> 2
+    assert plan.n_dist == 2
+    # mesh-aware alloc halves exactly between distributed levels
+    for a in range(3):
+        assert plan.alloc[0][a] == 2 * plan.alloc[1][a]
+        assert plan.alloc[0][a] % 2 == 0
+        assert plan.alloc[0][a] >= 33
+        assert plan.alloc[1][a] >= 17
+        assert plan.block[0][a] == plan.alloc[0][a] // 2
+
+
+@pytest.mark.parametrize("dims", [(31, 31, 31), (15, 31, 15)])
+def test_spmd_matches_single_device(dims):
+    p = make_params(dims=dims)
+    _, ref_history = solve(build_grid(p), p)
+
+    mesh = make_mesh((2, 2, 2))
+    _, history = solve_spmd(p, mesh, cutoff=3)
+    assert len(history) == len(ref_history)
+    np.testing.assert_allclose(history, ref_history, rtol=1e-10)
+
+
+def test_spmd_anisotropic_mesh():
+    p = make_params(dims=(31, 31, 31), maxiter=3)
+    _, ref_history = solve(build_grid(p), p)
+    mesh = make_mesh((4, 2, 1))
+    _, history = solve_spmd(p, mesh, cutoff=3)
+    np.testing.assert_allclose(history, ref_history, rtol=1e-10)
+
+
+def test_spmd_mode_guard():
+    p = make_params().replace(mode=Mode.NONLINEAR)
+    mesh = make_mesh((2, 2, 2))
+    with pytest.raises(NotImplementedError, match="LINEAR"):
+        solve_spmd(p, mesh)
