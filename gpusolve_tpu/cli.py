@@ -46,6 +46,14 @@ def build_argparser() -> argparse.ArgumentParser:
         default=None,
         help="comma-separated 3-D device mesh, e.g. 2,2,2 (default: 1 device)",
     )
+    ap.add_argument(
+        "--dist-engine",
+        choices=["gspmd", "spmd"],
+        default="gspmd",
+        help="distribution engine with --mesh: gspmd (partitioner-inserted "
+        "collectives, all modes) or spmd (explicit shard_map+ppermute halo "
+        "exchange, linear mode)",
+    )
     ap.add_argument("--dump", default=None, metavar="PATH")
     ap.add_argument("--validate", action="store_true")
     ap.add_argument(
@@ -151,6 +159,26 @@ def main(argv=None) -> int:
 
             mesh_shape = tuple(int(t) for t in args.mesh.split(","))
             mesh = make_mesh(mesh_shape)
+            if args.dist_engine == "spmd":
+                from gpusolve_tpu.dist import solve_spmd
+
+                if params.mode != Mode.LINEAR:
+                    print(
+                        "--dist-engine spmd supports linear mode only",
+                        file=sys.stderr,
+                    )
+                    return 1
+                state, history = solve_spmd(params, mesh)
+                if params.print_progress:
+                    print(f"Inital residual: {history[0]:.6g}")
+                    for i, res in enumerate(history[1:]):
+                        print(f"iter: {i} residual: {res:.6g}")
+                if args.dump or args.validate:
+                    print(
+                        "--dump/--validate not yet supported with the spmd "
+                        "engine", file=sys.stderr,
+                    )
+                return 0
             shardings = level_shardings(params, mesh)
 
         state = build_grid(params)
