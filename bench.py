@@ -25,6 +25,11 @@ BENCH_MODE (default 0 = linear).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import json
 import os
 import time
