@@ -15,6 +15,7 @@
 // Build:  g++ -O3 -march=native -fopenmp -std=c++17 -shared -fPIC \
 //             gpusolve_cpu.cpp -o libgpusolve_cpu.so
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -332,13 +333,23 @@ double vcycle(Hierarchy& H) {
 }
 
 // Linear/FAS solve loop (reference: src/cpu/CpuSolver.cpp:12-43).
-// history must hold maxiter+1 doubles; returns the cycle count executed.
-std::int64_t solve_loop(Hierarchy& H, double* history) {
+// history must hold maxiter+1 doubles; cycle_ms (nullable) receives the
+// measured wall ms per executed cycle (maxiter doubles) — the counterpart of
+// the reference's per-cycle Timer::start/stop (src/Timer.cpp:7-27).
+// Returns the cycle count executed.
+std::int64_t solve_loop(Hierarchy& H, double* history,
+                        double* cycle_ms = nullptr) {
     double initial = std::sqrt(residual_pass(H, H.levels[0], true));
     history[0] = initial;
     std::int64_t i = 0;
     for (; i < H.cfg.maxiter; ++i) {
+        auto t0 = std::chrono::steady_clock::now();
         double res = vcycle(H);
+        if (cycle_ms) {
+            std::chrono::duration<double, std::milli> dt =
+                std::chrono::steady_clock::now() - t0;
+            cycle_ms[i] = dt.count();
+        }
         history[i + 1] = res;
         if (res <= initial / (1.0 / H.cfg.tol)) {
             ++i;
@@ -382,12 +393,14 @@ double comp_f(Hierarchy& H) {
 }
 
 // Outer Newton loop (reference: src/cpu/NewtonSolver.cpp:10-44,83-108).
-std::int64_t newton_loop(Hierarchy& H, double* history) {
+std::int64_t newton_loop(Hierarchy& H, double* history,
+                         double* cycle_ms = nullptr) {
     H.newton_f = H.levels[0].f;
     double initial = comp_f(H);
     history[0] = initial;
     std::int64_t i = 0;
     for (; i < H.cfg.maxiter; ++i) {
+        auto t0 = std::chrono::steady_clock::now();
         comp_f(H);
         std::fill(H.levels[0].v.begin(), H.levels[0].v.end(), 0.0);
         // findError: restrict ũ to levels 1..L-2 (never the coarsest).
@@ -404,6 +417,11 @@ std::int64_t newton_loop(Hierarchy& H, double* history) {
         for (std::int64_t k = 0; k < L0.padded(); ++k)
             L0.newton_v[k] += L0.v[k];
         double res = comp_f(H);
+        if (cycle_ms) {
+            std::chrono::duration<double, std::milli> dt =
+                std::chrono::steady_clock::now() - t0;
+            cycle_ms[i] = dt.count();
+        }
         history[i + 1] = res;
         if (res <= initial / (1.0 / H.cfg.tol)) {
             ++i;
@@ -419,19 +437,22 @@ extern "C" {
 
 // Solve the configured problem.  out_solution receives the padded
 // (n+2)^3 finest-level solution (v, or newton_v in mode 2); out_history
-// receives maxiter+1 residuals (entry 0 = initial).  Returns the number of
-// iterations executed, or -1 on error.
+// receives maxiter+1 residuals (entry 0 = initial); out_cycle_ms (nullable)
+// receives per-iteration wall-clock ms (maxiter doubles).  Returns the
+// number of iterations executed, or -1 on error.
 std::int64_t gpusolve_cpu_solve(const Config* cfg, double* out_solution,
-                                double* out_history) {
+                                double* out_history,
+                                double* out_cycle_ms) {
     if (!cfg || !out_solution || !out_history) return -1;
     if (cfg->mode < 0 || cfg->mode > 2) return -1;
     Hierarchy H;
     H.cfg = *cfg;
     build_levels(H);
     fill_rhs(H);
-    std::int64_t iters = cfg->mode == kModeNewton
-                             ? newton_loop(H, out_history)
-                             : solve_loop(H, out_history);
+    std::int64_t iters =
+        cfg->mode == kModeNewton
+            ? newton_loop(H, out_history, out_cycle_ms)
+            : solve_loop(H, out_history, out_cycle_ms);
     const Level& L0 = H.levels[0];
     const std::vector<double>& sol =
         cfg->mode == kModeNewton ? L0.newton_v : L0.v;

@@ -126,22 +126,25 @@ def main(argv=None) -> int:
     import numpy as np
 
     if native:
-        import time
-
         from gpusolve_tpu import cpu_native
 
-        t0 = time.perf_counter()
-        solution, history = cpu_native.solve_native(params)
+        solution, history, cycle_ms = cpu_native.solve_native(
+            params, with_times=True
+        )
         if params.print_progress:
             if params.mode == Mode.NEWTON:
                 print(f"Inital newton residual: {history[0]:.6g}")
             else:
                 print(f"Inital residual: {history[0]:.6g}")
-            ms = int((time.perf_counter() - t0) * 1000)
             word = "newton iter" if params.mode == Mode.NEWTON else "iter"
             for i, res in enumerate(history[1:]):
-                print(f"{word}: {i} residual: {res:.6g}", end="")
-                print(f" Took {ms // max(1, len(history) - 1)}ms")
+                # Real measured per-cycle wall time from the native loop
+                # (csrc solve_loop/newton_loop), matching the reference's
+                # per-cycle Timer prints (src/Timer.cpp:13-27).
+                print(
+                    f"{word}: {i} residual: {res:.6g} "
+                    f"Took {int(cycle_ms[i])}ms"
+                )
     else:
         from gpusolve_tpu import build_grid, newton_solve, solve
 
@@ -183,6 +186,7 @@ def main(argv=None) -> int:
 
         state = build_grid(params)
         history0 = []
+        initial_residual = None
         if args.load_state:
             from gpusolve_tpu.utils.checkpoint import load_state
 
@@ -198,21 +202,31 @@ def main(argv=None) -> int:
                 print(str(e), file=sys.stderr)
                 return 1
             print(f"Resumed from {args.load_state} (iteration {it0})")
+            # Resume fidelity: the stop threshold must keep using the
+            # *original* run's initial residual (history[0]), not one
+            # recomputed from the resumed state.
+            if history0:
+                initial_residual = history0[0]
         if params.mode == Mode.NEWTON:
             state, history = newton_solve(
-                state, params, shardings=shardings
+                state, params, shardings=shardings,
+                initial_residual=initial_residual,
             )
             solution = state.levels[0].newton_v
         else:
-            state, history = solve(state, params, shardings=shardings)
+            state, history = solve(
+                state, params, shardings=shardings,
+                initial_residual=initial_residual,
+            )
             solution = state.levels[0].v
+        combined = history0 + history
         if args.save_state:
             from gpusolve_tpu.utils.checkpoint import save_state
 
             save_state(
                 args.save_state, state, params,
-                iteration=len(history0) + len(history) - 1,
-                history=history0 + history[1:],
+                iteration=len(combined) - 1,
+                history=combined,
             )
             print(f"Saved state to {args.save_state}")
         # Slice the tile-aligned allocation down to the logical padded

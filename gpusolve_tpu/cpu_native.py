@@ -84,6 +84,7 @@ def _load():
         ctypes.POINTER(_CConfig),
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
     ]
     lib.gpusolve_cpu_num_threads.restype = ctypes.c_int
     _lib = lib
@@ -110,23 +111,32 @@ def _to_cconfig(params: GridParams) -> _CConfig:
     return cfg
 
 
-def solve_native(params: GridParams) -> Tuple[np.ndarray, List[float]]:
+def solve_native(
+    params: GridParams, with_times: bool = False
+):
     """Run the full native solve (any mode).  Returns the padded
     ``(n+2)³`` float64 solution field and the residual history
-    ``[initial, res_0, ...]``."""
+    ``[initial, res_0, ...]``; with ``with_times`` also the measured
+    per-iteration wall ms (the reference's per-cycle Timer,
+    src/Timer.cpp:7-27)."""
     lib = _load()
     cfg = _to_cconfig(params)
     nx, ny, nz = params.grid_dim
     sol = np.zeros((nx + 2, ny + 2, nz + 2), dtype=np.float64)
     hist = np.zeros(params.maxiter + 1, dtype=np.float64)
+    times = np.zeros(max(1, params.maxiter), dtype=np.float64)
     iters = lib.gpusolve_cpu_solve(
         ctypes.byref(cfg),
         sol.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     if iters < 0:
         raise RuntimeError("gpusolve_cpu_solve failed")
-    return sol, [float(h) for h in hist[: iters + 1]]
+    history = [float(h) for h in hist[: iters + 1]]
+    if with_times:
+        return sol, history, [float(t) for t in times[:iters]]
+    return sol, history
 
 
 def num_threads() -> int:

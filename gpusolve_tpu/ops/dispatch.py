@@ -39,6 +39,11 @@ _PALLAS_MIN_ELEMS = 48 ** 3
 def use_pallas(params: GridParams, dims: Dims) -> bool:
     if params.backend == "xla":
         return False
+    # Mosaic lowering is only exercised/validated at float32: float64 has no
+    # native TPU path (XLA emulates it — SURVEY §7 "f64 vs TPU"), and the
+    # kernels assume (8,128) f32 tiling.  Fall back to XLA cleanly.
+    if params.dtype != "float32":
+        return False
     n = dims[0] * dims[1] * dims[2]
     if n < _PALLAS_MIN_ELEMS:
         return False

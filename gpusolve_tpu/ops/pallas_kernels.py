@@ -310,18 +310,39 @@ def _residual_call(
             # Clamped tiles overlap in x; don't double count overlap planes.
             xi = jax.lax.broadcasted_iota(jnp.int32, (tx, yp, zp), 0)
             fresh = xi >= (t * tx - sx)
-            part = jnp.sum(
+            r2 = (
                 jnp.where(fresh, r, jnp.zeros_like(r)).astype(jnp.float32)
                 ** 2
             )
+            # Per-plane scalar partial sums feed an explicit Kahan chain:
+            # the serial-accumulation error of one long f32 reduce is the
+            # numerically risky part (plane-sum errors are independent and
+            # average out; the chain is exactly compensated).  XLA cannot
+            # reassociate the dependent scalar ops below.  Each summand is a
+            # full 2-D plane reduce — Mosaic lowers plane->scalar reductions
+            # but not scalar extraction from a 1-D vector.
+            part = jnp.float32(0.0)
+            pcomp = jnp.float32(0.0)
+            for c in range(tx):
+                y = jnp.sum(r2[c]) - pcomp
+                tt = part + y
+                pcomp = (tt - part) - y
+                part = tt
 
             @pl.when(t == 0)
             def _():
                 acc[0, 0] = part
+                acc[0, 1] = jnp.float32(0.0)
 
             @pl.when(t != 0)
             def _():
-                acc[0, 0] = acc[0, 0] + part
+                # Kahan-compensated cross-tile accumulation (SURVEY §7's
+                # "compensated-f32 norm" mitigation; VERDICT r1 weak #4).
+                total = acc[0, 0]
+                y = part - acc[0, 1]
+                tt = total + y
+                acc[0, 1] = (tt - total) - y
+                acc[0, 0] = tt
 
             @pl.when(t == ntx - 1)
             def _():
@@ -342,7 +363,7 @@ def _residual_call(
     if has_nv:
         scratch.append(pltpu.VMEM((tx, yp, zp), dtype))
     scratch.append(pltpu.VMEM((tx, yp, zp), dtype))
-    scratch.append(pltpu.SMEM((1, 1), jnp.float32))
+    scratch.append(pltpu.SMEM((1, 2), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
     return pl.pallas_call(

@@ -361,7 +361,7 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         start_now=False,
                     ).wait()
 
-                part = carry
+                total, comp = carry
                 for c in range(tx):
                     av = plane_stencil(l, slot, c, yl, zl)
                     if has_nv:
@@ -380,15 +380,24 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                     if with_norm:
                         # Clamped tiles overlap in x; skip re-counted planes.
                         fresh = (t * tx - sx) <= c
-                        part = part + jnp.where(
+                        part = jnp.where(
                             fresh,
                             jnp.sum(rr.astype(jnp.float32) ** 2),
                             0.0,
                         )
+                        # Kahan-compensated accumulation: the ~O(nx) serial
+                        # plane-sum chain is the numerically risky part of
+                        # the f32 norm (SURVEY §7's declared mitigation).
+                        y = part - comp
+                        tt = total + y
+                        comp = (tt - total) - y
+                        total = tt
                 copy_out(os_, slot, tx, yl, zl, dst, sx + 1, 3)
-                return part
+                return total, comp
 
-            total = jax.lax.fori_loop(0, ntx, body, jnp.float32(0.0))
+            total, _ = jax.lax.fori_loop(
+                0, ntx, body, (jnp.float32(0.0), jnp.float32(0.0))
+            )
             for back in (2, 1):
                 if ntx - back >= 0:
                     t_last = ntx - back

@@ -95,13 +95,14 @@ def find_error(
     state: GridState,
     params: GridParams,
     shardings: Optional[Tuple] = None,
+    timer: Optional[Timer] = None,
 ) -> GridState:
     """Solve J(ũ)·e = F with a short inner MG solve and update ũ
     (reference: src/cpu/NewtonSolver.cpp:83-108)."""
     tp = vc.trace_params(params, shardings)
     state = _prepare_find_error(state, params=tp, shardings=shardings)
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
-    state, _ = vc.solve(state, inner, shardings=shardings)
+    state, _ = vc.solve(state, inner, shardings=shardings, timer=timer)
     return _update_newton_v(state, params=tp)
 
 
@@ -110,28 +111,44 @@ def newton_solve(
     params: GridParams,
     shardings: Optional[Tuple] = None,
     timer: Optional[Timer] = None,
+    initial_residual: Optional[float] = None,
 ) -> Tuple[GridState, List[float]]:
     """Outer Newton loop (reference: src/cpu/NewtonSolver.cpp:10-44).
 
     The solution is accumulated in level-0 newton_v.  Returns the final state
     and the outer residual history ``[initial, res_0, ...]``.
+
+    ``initial_residual``: checkpoint-resume fidelity — when given, the stop
+    threshold uses the original run's initial residual (see
+    gpusolve_tpu.solver.vcycle.solve) and the returned history omits the
+    leading entry.
     """
     assert params.mode == Mode.NEWTON
     assert state.newton_f is not None, "build_grid must run in NEWTON mode"
+    if timer is None and params.print_progress:
+        timer = Timer()
     tp = vc.trace_params(params, shardings)
 
-    state, initial = comp_f(state, params=tp)
-    initial = float(initial)
-    if params.print_progress:
-        print(f"Inital newton residual: {initial:.6g}")
+    if initial_residual is None:
+        state, initial = comp_f(state, params=tp)
+        initial = float(initial)
+        if params.print_progress:
+            print(f"Inital newton residual: {initial:.6g}")
+        history = [initial]
+    else:
+        initial = float(initial_residual)
+        history = []
 
-    history = [initial]
     for i in range(params.maxiter):
         t0 = time.perf_counter()
         state, _ = comp_f(state, params=tp)
-        state = find_error(state, params, shardings=shardings)
+        state = find_error(state, params, shardings=shardings, timer=timer)
         state, res = comp_f(state, params=tp)
-        res = float(res)
+        if timer is not None:
+            with timer.section("sumBuffer"):
+                res = float(res)
+        else:
+            res = float(res)
         history.append(res)
         if params.print_progress:
             ms = int((time.perf_counter() - t0) * 1000)

@@ -97,6 +97,25 @@ def test_cli_dump_validate(tmp_path):
     assert compare_analytic(mesh, 1.0 / 16.0) < 5e-3
 
 
+def test_plotter_script_writes_figure(tmp_path):
+    """scripts/plotter.py renders the mid-plane overlay figure from a dump
+    (the counterpart of the reference's plotter.py:28-48)."""
+    conf = write_conf(tmp_path, mode=1, maxiter=8)
+    dump_path = str(tmp_path / "v.txt")
+    r = run_cli([conf, "--dump", dump_path, "--quiet"])
+    assert r.returncode == 0, r.stderr
+    out_png = str(tmp_path / "v.png")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "plotter.py"),
+         dump_path, "-o", out_png],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert os.path.exists(out_png) and os.path.getsize(out_png) > 1000
+    m = re.search(r"max-abs mid-plane error ([\d.e+-]+)", r2.stdout)
+    assert m and float(m.group(1)) < 5e-3
+
+
 def test_dump_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     a = rng.standard_normal((5, 4, 3))
