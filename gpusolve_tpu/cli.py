@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--quiet", action="store_true", help="suppress progress lines"
     )
+    ap.add_argument(
+        "--check-every", type=int, default=1, metavar="K",
+        help="batch K V-cycles per device launch (wavefront kernel only): "
+        "the in-kernel stop test preserves the residual history and final "
+        "state while amortising per-launch overhead on small grids",
+    )
     return ap
 
 
@@ -217,6 +223,7 @@ def main(argv=None) -> int:
             state, history = solve(
                 state, params, shardings=shardings,
                 initial_residual=initial_residual,
+                check_every=args.check_every,
             )
             solution = state.levels[0].v
         combined = history0 + history

@@ -1,0 +1,1199 @@
+"""Wavefront multigrid mega-kernel (v2): whole V-cycles in ONE Pallas launch
+with sweep-fused streaming passes.
+
+Why v2 exists.  The v1 mega-kernel (gpusolve_tpu.ops.pallas_vcycle) executes
+each smoothing sweep / residual / transfer as its own streaming pass over the
+level, so a pre=post=3 LINEAR cycle moves ~27 field-volumes of HBM traffic on
+the finest level.  This kernel restructures every leg as a *wavefront*: while
+plane ``p`` of ``v`` streams in, plane ``p-1`` of sweep 1, ``p-2`` of sweep 2,
+…, and the residual at ``p-S-1`` are computed from small VMEM plane rings, and
+only the final smoothed plane is written back.  One down pass per level
+performs all pre-sweeps + residual + 27-point restriction (reading v and f
+once, writing v once plus the ⅛-volume coarse RHS); one up pass performs
+prolongation+correction + all post-sweeps (+ the final residual *norm* at the
+finest level, never materialising r).  Level-0 traffic drops to ~6.3
+field-volumes — a ~4x reduction — and every pass is in-place: the write
+wavefront trails the read front, so v needs no ping-pong buffer.
+
+Dense-z streaming: the z (lane) axis streams only ``round_up(nz+1, 128)``
+columns of the tile-aligned allocation — for 2^k−1 grids that is *dense* (the
+missing z=nz+1 halo column is synthesised by masking the +z stencil tap),
+eliminating the alignment-padding traffic round-1's VERDICT flagged.
+
+Multi-cycle: the kernel runs up to ``maxk`` cycles per launch with an
+in-kernel early-stop test (``sumsq <= threshold``), amortising the per-launch
+overhead that dominates small grids.
+
+Reference semantics (identical math to v1 and the oracle):
+src/cpu/CpuSolver.cpp:85-139 (V-cycle), :141-179 (Jacobi), :45-83 (residual),
+:211-238 (restriction), :240-290 (interpolation); FAS tau correction :100-113
+and up-leg v -= restV :121-125; Newton-mode smoothing :166-172.  The fusion
+changes the pass structure, not the math.
+
+Supported: LINEAR / NONLINEAR (FAS) / NEWTON, float32, pre/post <= 5 on
+streamed levels (see ``supported``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpusolve_tpu.config import GridParams, Mode
+from gpusolve_tpu.grid import alloc_shape
+
+_VMEM_LIMIT = 122 * 1024 * 1024
+_DEBUG_MAX_PASSES = None  # debugging aid: truncate the cycle after N passes
+_TX = 8          # stream slab granularity (sublane tile) — planes per DMA
+_TINY_AX = 16    # levels with alloc x-extent <= this run fully VMEM-resident
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _roll(x, shift: int, axis: int):
+    shift = shift % x.shape[axis]
+    try:
+        return pltpu.roll(x, shift, axis)
+    except Exception:  # interpret mode fallback
+        return jnp.roll(x, shift, axis=axis)
+
+
+def z_live(dims_l, shape_l) -> int:
+    """Lane columns actually streamed for a level: the dense extent
+    ``round_up(nz+1, 128)`` when smaller than the allocation (the z=nz+1 halo
+    column is then synthesised in-kernel), else the full alloc extent."""
+    nz = dims_l[2]
+    return min(shape_l[2], _round_up(nz + 1, 128))
+
+
+def _restrict_matrix(fp, cp_, cn, dtype):
+    """(fp, cp_) full-weighting factor along one minor axis: coarse j from
+    fine 2j-1..2j+1 with weights 1/4,1/2,1/4 (reference CpuSolver.cpp:225-232
+    separable factor)."""
+    ff = jax.lax.broadcasted_iota(jnp.int32, (fp, cp_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (fp, cp_), 1)
+    d = ff - 2 * cc
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    valid = (cc >= 1) & (cc <= cn)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+def _prolong_matrix(cp_, fp, fn, dtype):
+    """(cp_, fp) trilinear interpolation factor along one minor axis
+    (reference CpuSolver.cpp:240-290 separable factor).  Rows for coarse halo
+    columns beyond cp_ don't exist — their values are zero anyway."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 1)
+    d = mm - 2 * cc
+    w = jnp.where(d == 0, 1.0, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.5, w)
+    valid = (mm >= 1) & (mm <= fn)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+def supported(params: GridParams) -> bool:
+    if params.mode not in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR):
+        return False
+    if params.pre_smoothing > 5 or params.post_smoothing > 5:
+        return False
+    dims = params.level_dims()
+    shapes = [alloc_shape(d) for d in dims]
+    # The coarsest level runs pre+post fused sweeps; the streamed-pass sweep
+    # cap applies when it is too large to be VMEM-resident.
+    if shapes[-1][0] > _TINY_AX and (
+        params.pre_smoothing + params.post_smoothing > 5
+    ):
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
+    """Build the wavefront mega-kernel.
+
+    Field buffers update in place (``input_output_aliases``).  Scalar SMEM
+    inputs: threshold (f32 sum-of-squares early-stop bound, negative
+    disables) and n_cycles (int32 cycles to execute, <= maxk).  Extra output:
+    a (maxk, 1) f32 vector of per-cycle residual sum-of-squares, -1 for
+    cycles not executed.
+    """
+    (stencil_values, stencil_offsets, mode, omega, gamma, pre, post) = key
+    dims = dims_key
+    taps = tuple(zip(stencil_values, stencil_offsets))
+    dtype = jnp.dtype(dtype_name)
+    nlev = len(dims)
+    has_nv = mode == Mode.NEWTON
+    has_rv = mode == Mode.NONLINEAR
+    shapes = [alloc_shape(d) for d in dims]
+    hs = [1.0 / (d[1] + 1) for d in dims]
+    zls = [z_live(dims[l], shapes[l]) for l in range(nlev)]
+    tiny = [shapes[l][0] <= _TINY_AX for l in range(nlev)]
+
+    inv_h2 = [1.0 / (h * h) for h in hs]
+    pre_fac = [stencil_values[0] * ih for ih in inv_h2]
+    alpha = [(h * h) / stencil_values[0] for h in hs]
+
+    # per-level field refs: v, f [, newton_v | rest_v]
+    n_arr = 3 if (has_nv or has_rv) else 2
+
+    y0, zl0 = shapes[0][1], zls[0]
+    first_stream = next((l for l in range(nlev) if not tiny[l]), None)
+    first_tiny = next((l for l in range(nlev) if tiny[l]), None)
+    # Coarse-plane scratch extents: the largest restriction/prolongation
+    # partner of a streamed pass is level first_stream+1.
+    if first_stream is not None and first_stream + 1 < nlev:
+        yc0, zlc0 = shapes[first_stream + 1][1], zls[first_stream + 1]
+    else:
+        yc0, zlc0 = 8, 128
+    if first_tiny is not None:
+        yt0, zlt0 = shapes[first_tiny][1], zls[first_tiny]
+    else:
+        yt0, zlt0 = 8, 128
+
+    # Intermediate generation rings: a down pass holds pre-1 intermediate
+    # sweeps, an up pass holds gen0' (the prolongation result) + post-1.
+    n_gen = max(pre - 1, post, 1)
+
+    def kernel(*refs):
+        thr_ref = refs[nlev * n_arr]
+        ncyc_ref = refs[nlev * n_arr + 1]
+        outs = refs[nlev * n_arr + 2 : 2 * nlev * n_arr + 2]
+        norms_ref = refs[2 * nlev * n_arr + 2]
+        scratch = list(refs[2 * nlev * n_arr + 3 :])
+
+        sv = scratch.pop(0)      # (16, y0, zl0) v stream ring
+        sf = scratch.pop(0)      # (16, y0, zl0) f stream ring
+        outst = scratch.pop(0)   # (16, y0, zl0) out staging ring
+        snv = scratch.pop(0) if has_nv else None
+        gens = [scratch.pop(0) for _ in range(n_gen)]  # (3, y0, zl0) each
+        rres = scratch.pop(0)    # (3, y0, zl0) residual ring
+        sc = scratch.pop(0)      # (16, yc0, zlc0) coarse stream (prolong)
+        cst = scratch.pop(0)     # (16, yc0, zlc0) restriction staging
+        sc2 = scratch.pop(0) if has_rv else None
+        cst2 = scratch.pop(0) if has_rv else None
+        tv = scratch.pop(0)      # (TINY, yt0, zlt0) tiny-level v
+        tf = scratch.pop(0)      # (TINY, yt0, zlt0) tiny-level f
+        tc = scratch.pop(0)      # (TINY, yt0, zlt0) tiny coarse staging
+        tnv = scratch.pop(0) if (has_nv or has_rv) else None
+        acc = scratch.pop(0)     # SMEM (1, 2) int32: done flag
+        sem = scratch.pop(0)     # DMA sems (8, 2)
+
+        def buf(l, which):
+            # which: 0 = v, 1 = f, 2 = newton_v/rest_v
+            return outs[l * n_arr + which]
+
+        def r16(q):
+            # ring-of-16 index, safe for q >= -32 (lax.rem keeps the
+            # dividend's sign, so bias before reducing)
+            return ((q + 32) % 16)
+
+        def r3(q):
+            return ((q + 33) % 3)
+
+        def keep_mask(shape, ny, nz):
+            yi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            return (yi >= 1) & (yi <= ny) & (zi >= 1) & (zi <= nz)
+
+        def stencil_sum(l, read_plane):
+            """A·v/h² for a plane: ``read_plane(dq) -> (yl, zl)`` returns the
+            neighbour plane at x-offset dq.  Taps sharing a coefficient are
+            summed before the multiply.  When the level's z=nz+1 halo column
+            is not streamed (dense z), the +z tap's wrapped column is
+            masked to the halo value (zero)."""
+            nz = dims[l][2]
+            zl = zls[l]
+            mask_zp = zl == nz + 1
+            groups = {}
+            for val, off in taps:
+                groups.setdefault(val * inv_h2[l], []).append(off)
+            s = None
+            for coeff, offs in groups.items():
+                g = None
+                for (ox, oy, oz) in offs:
+                    term = read_plane(ox)
+                    if oy:
+                        term = _roll(term, -oy, 0)
+                    if oz:
+                        term = _roll(term, -oz, 1)
+                        if oz > 0 and mask_zp:
+                            zi = jax.lax.broadcasted_iota(
+                                jnp.int32, term.shape, 1
+                            )
+                            term = jnp.where(zi >= nz, 0.0, term).astype(
+                                term.dtype
+                            )
+                    g = term if g is None else g + term
+                term = coeff * g
+                s = term if s is None else s + term
+            return s
+
+        def jacobi_plane(l, center, av, fint, nvi):
+            """One damped-Jacobi plane update (reference :141-179; nonlinear
+            :159-165 tutorial formula 6.14; Newton :166-172)."""
+            if mode == Mode.LINEAR:
+                return center + (omega * alpha[l]) * (fint - av)
+            if mode == Mode.NONLINEAR:
+                ex = jnp.exp(center)
+                rr = fint - (av + gamma * center * ex)
+                denom = pre_fac[l] + gamma * (1.0 + center) * ex
+                return center + omega * (rr / denom)
+            ex = jnp.exp(nvi)
+            lin = gamma * (1.0 + nvi) * ex
+            rr = fint - (av + lin * center)
+            return center + omega * (rr / (pre_fac[l] + lin))
+
+        def jacobi_zero_plane(l, fint, nvi):
+            """First sweep from v=0 (down-leg coarse start, reference
+            :100-101): the residual is just f."""
+            if mode == Mode.LINEAR:
+                return (omega * alpha[l]) * fint
+            # NEWTON with v=0 (FAS never starts from zero)
+            lin = gamma * (1.0 + nvi) * jnp.exp(nvi)
+            return omega * (fint / (pre_fac[l] + lin))
+
+        def residual_plane(l, av, center, fint, nvi):
+            """r = f - (A v + mode term) (reference :45-83)."""
+            if has_nv:
+                av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
+            elif has_rv:
+                av = av + gamma * center * jnp.exp(center)
+            return fint - av
+
+        def restrict_yz(plane, wy, wz, ckeep, czero, valid):
+            tmp = jnp.dot(
+                plane, wz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_c = jnp.dot(
+                wy.T, tmp.astype(dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
+            return jnp.where(valid & ckeep, out_c, czero)
+
+        def prolong_yz(cplane, py, pz):
+            tmp = jnp.dot(
+                cplane, pz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.dot(
+                py.T, tmp.astype(dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
+
+        # ------------------------------------------------------------------
+        # Streamed wavefront pass.
+        # ------------------------------------------------------------------
+        def stream_pass(l, src, n_sweeps, consumer):
+            """One fused leg over level ``l``.
+
+            src: 'hbm' (stream v), 'zero' (v=0 start, v not read),
+                 'prolong' (v + interpolated coarse correction, level l+1).
+            consumer: None | 'restrict' (residual -> coarse f; FAS also
+                 restricts v into coarse v/rest_v) | 'norm' (Kahan residual
+                 sum-of-squares, returned).
+            """
+            nx, ny, nz = dims[l]
+            yl = shapes[l][1]
+            zl = zls[l]
+            S = n_sweeps
+            if consumer == "restrict":
+                lag_max = S + 3  # residual lag S+1, +2 to finish the last
+                #                  coarse chunk (m reaches cnx+1)
+            elif consumer == "norm":
+                lag_max = S + 1
+            else:
+                lag_max = S
+            nsteps = nx + 2 + lag_max
+            NSL = _cdiv(nx + 2, _TX)
+            # Out chunks cover interior planes j = 1..NC*8; NC*8 <= nx+1
+            # always (never past the x halo), and the trailing wavefront
+            # steps reach q = NC*8 so every chunk's DMA start fires.
+            NC = _cdiv(nx, _TX)
+            trig = S + 2  # in-slab prefetch step offset (slab lifetime)
+            vref = buf(l, 0)
+            fref = buf(l, 1)
+            nvref = buf(l, 2) if has_nv else None
+            keep = keep_mask((yl, zl), ny, nz)
+            zero_plane = jnp.zeros((yl, zl), dtype)
+            stream_v = src in ("hbm", "prolong")
+
+            if consumer == "restrict":
+                lc = l + 1
+                cnx, cny, cnz = dims[lc]
+                cyl = shapes[lc][1]
+                czl = zls[lc]
+                NCC = _cdiv(cnx, _TX)  # coarse chunks cover m=1..NCC*8
+                wy = _restrict_matrix(yl, cyl, cny, dtype)
+                wz = _restrict_matrix(zl, czl, cnz, dtype)
+                ckeep = keep_mask((cyl, czl), cny, cnz)
+                czero = jnp.zeros((cyl, czl), dtype)
+                c_tiny = tiny[lc]
+            if src == "prolong":
+                lcp = l + 1
+                pcnx = dims[lcp][0]
+                pcyl = shapes[lcp][1]
+                pczl = zls[lcp]
+                NSC = _cdiv(pcnx + 2, _TX)
+                py = _prolong_matrix(pcyl, yl, ny, dtype)
+                pz = _prolong_matrix(pczl, zl, nz, dtype)
+                cvref = buf(lcp, 0)
+                rvref = buf(lcp, 2) if has_rv else None
+
+            def in_cp(ref, dst, s, si, yy=yl, zz=zl):
+                return pltpu.make_async_copy(
+                    ref.at[pl.ds(s * _TX, _TX), :, :zz],
+                    dst.at[pl.ds((s % 2) * _TX, _TX), :yy, :zz],
+                    sem.at[si, (s % 2)],
+                )
+
+            def in_slabs(s, start):
+                cps = [in_cp(fref, sf, s, 1)]
+                if stream_v:
+                    cps.append(in_cp(vref, sv, s, 0))
+                if has_nv:
+                    cps.append(in_cp(nvref, snv, s, 2))
+                for cp in cps:
+                    cp.start() if start else cp.wait()
+
+            def coarse_slabs(s, start):
+                cps = [in_cp(cvref, sc, s, 3, yy=pcyl, zz=pczl)]
+                if has_rv:
+                    cps.append(in_cp(rvref, sc2, s, 3, yy=pcyl, zz=pczl))
+                for cp in cps:
+                    cp.start() if start else cp.wait()
+
+            def out_chunk(c, wait=False):
+                cp = pltpu.make_async_copy(
+                    outst.at[
+                        pl.ds((c % 2) * _TX, _TX), :yl, :zl
+                    ],
+                    vref.at[pl.ds(c * _TX + 1, _TX), :, :zl],
+                    sem.at[4, (c % 2)],
+                )
+                cp.wait() if wait else cp.start()
+
+            def cst_chunks(c, wait=False):
+                cps = [
+                    pltpu.make_async_copy(
+                        cst.at[
+                            pl.ds((c % 2) * _TX, _TX),
+                            :cyl, :czl,
+                        ],
+                        buf(lc, 1).at[pl.ds(c * _TX + 1, _TX), :, :czl],
+                        sem.at[5, (c % 2)],
+                    )
+                ]
+                if has_rv:
+                    # FAS: R(v) lands in BOTH coarse v and coarse rest_v
+                    # (reference :106-107).
+                    for si, which in ((6, 0), (7, 2)):
+                        cps.append(
+                            pltpu.make_async_copy(
+                                cst2.at[
+                                    pl.ds((c % 2) * _TX, _TX),
+                                    :cyl, :czl,
+                                ],
+                                buf(lc, which).at[
+                                    pl.ds(c * _TX + 1, _TX), :, :czl
+                                ],
+                                sem.at[si, (c % 2)],
+                            )
+                        )
+                for cp in cps:
+                    cp.wait() if wait else cp.start()
+
+            def sv_plane(q):
+                return sv[r16(q), :yl, :zl]
+
+            def sf_plane(q):
+                return sf[r16(q), :yl, :zl]
+
+            def snv_plane(q):
+                return snv[r16(q), :yl, :zl]
+
+            def out_plane(q):
+                return outst[r16(q - 1), :yl, :zl]
+
+            # --- prologue ----------------------------------------------------
+            if consumer is not None:
+                # The residual consumer reads out-staging plane j=0 (the x
+                # halo, value 0) which the wavefront never writes; its slot
+                # (15) is only reused by plane j=16, long after the last
+                # j=0 read.
+                outst[15, :yl, :zl] = jnp.zeros((yl, zl), dtype)
+            in_slabs(jnp.int32(0), True)
+            if src == "prolong":
+                coarse_slabs(jnp.int32(0), True)
+                coarse_slabs(jnp.int32(0), False)
+                if NSC > 1:
+                    coarse_slabs(jnp.int32(1), True)
+
+            def body(p, carry):
+                s = (p // _TX)
+                pos = (p % _TX)
+
+                @pl.when((pos == 0) & (s < NSL))
+                def _():
+                    in_slabs(s, False)
+
+                @pl.when((pos == trig) & (s + 1 < NSL))
+                def _():
+                    in_slabs(s + 1, True)
+
+                if src == "prolong":
+                    @pl.when(
+                        (((p + 2) % 16) == 0)
+                        & ((p + 2) // 16 >= 1)
+                        & ((p + 2) // 16 < NSC)
+                    )
+                    def _():
+                        coarse_slabs((p + 2) // 16, False)
+
+                    # Start coarse slab c = p//16 + 1 once its slot's
+                    # previous occupant (slab c-2) is dead (last read at
+                    # p = 16(c-1)-1); slabs 0 and 1 load in the prologue.
+                    @pl.when(
+                        ((p % 16) == 4) & (p // 16 >= 1)
+                        & (p // 16 + 1 < NSC)
+                    )
+                    def _():
+                        coarse_slabs(p // 16 + 1, True)
+
+                    # gen0': v[p] + interpolated correction (reference
+                    # :240-290 fused with v+=e :130-132; FAS coarse operand
+                    # v - restV :121-125).
+                    @pl.when((p >= 1) & (p <= nx))
+                    def _():
+                        q = p
+                        a = r16(q // 2)
+                        b = r16((q + 1) // 2)
+                        ca = sc[a, :pcyl, :pczl]
+                        cb = sc[b, :pcyl, :pczl]
+                        if has_rv:
+                            ca = ca - sc2[a, :pcyl, :pczl]
+                            cb = cb - sc2[b, :pcyl, :pczl]
+                        # Both-parity form (padded global index q):
+                        # even -> inject C[q/2] (a == b), odd ->
+                        # (C[(q-1)/2] + C[(q+1)/2]) / 2.
+                        e_q = prolong_yz(0.5 * (ca + cb), py, pz)
+                        gens[0][r3(q), :yl, :zl] = jnp.where(
+                            keep, sv_plane(q) + e_q, zero_plane
+                        )
+
+                    @pl.when((p == 0) | (p == nx + 1))
+                    def _():
+                        gens[0][r3(p), :yl, :zl] = zero_plane
+
+                # --- smoothing generations -------------------------------
+                goff = 1 if src == "prolong" else 0
+
+                def gen_read(k, q):
+                    # plane reader for generation k's input (gen k-1)
+                    if k == 1 and src == "hbm":
+                        return lambda dq: sv_plane(q + dq)
+                    if k == 1 and src == "prolong":
+                        return lambda dq: gens[0][r3(q + dq), :yl, :zl]
+                    ring = gens[k - 2 + goff]
+                    return lambda dq: ring[r3(q + dq), :yl, :zl]
+
+                for k in range(1, S + 1):
+                    q = p - k
+                    is_last = k == S
+
+                    if is_last:
+                        # Wait for the chunk DMA two chunks back before its
+                        # staging slot is overwritten.  The `< NC` bound
+                        # keeps trailing wavefront steps (q past the last
+                        # chunk) from re-waiting chunks the epilogue
+                        # drains — each chunk must be waited exactly once.
+                        @pl.when(
+                            (q >= 1)
+                            & (((q - 1) % _TX) == 0)
+                            & ((q - 1) // _TX >= 2)
+                            & ((q - 1) // _TX < NC)
+                        )
+                        def _():
+                            out_chunk((q - 1) // _TX - 2, wait=True)
+
+                    @pl.when((q >= 1) & (q <= nx))
+                    def _(k=k, q=q, is_last=is_last):
+                        fint = sf_plane(q)
+                        nvi = snv_plane(q) if has_nv else None
+                        if k == 1 and src == "zero":
+                            val = jacobi_zero_plane(l, fint, nvi)
+                        else:
+                            rp = gen_read(k, q)
+                            av = stencil_sum(l, rp)
+                            val = jacobi_plane(l, rp(0), av, fint, nvi)
+                        val = jnp.where(keep, val, zero_plane)
+                        if is_last:
+                            outst[r16(q - 1), :yl, :zl] = val
+                        else:
+                            gens[k - 1 + goff][r3(q), :yl, :zl] = val
+
+                    if is_last:
+                        # Halo/pad planes of the out staging must be zero
+                        # (they are written back to HBM).
+                        @pl.when((q > nx) & (q >= 1) & (q <= NC * _TX))
+                        def _(q=q):
+                            outst[r16(q - 1), :yl, :zl] = zero_plane
+
+                        @pl.when(
+                            (q >= 1)
+                            & (((q - 1) % _TX) == _TX - 1)
+                            & (q <= NC * _TX)
+                        )
+                        def _(q=q):
+                            out_chunk((q - 1) // _TX)
+                    else:
+                        @pl.when((q == 0) | (q == nx + 1))
+                        def _(k=k, q=q):
+                            gens[k - 1 + goff][r3(q), :yl, :zl] = \
+                                zero_plane
+
+                # --- consumer --------------------------------------------
+                if consumer == "norm":
+                    q = p - S - 1
+                    total, comp = carry
+                    cond = (q >= 1) & (q <= nx)
+                    av = stencil_sum(l, lambda dq: out_plane(q + dq))
+                    nvi = snv_plane(q) if has_nv else None
+                    rr = residual_plane(
+                        l, av, out_plane(q), sf_plane(q), nvi
+                    )
+                    rr = jnp.where(keep & cond, rr, zero_plane)
+                    part = jnp.sum(rr.astype(jnp.float32) ** 2)
+                    # Kahan-compensated plane-sum chain (SURVEY §7's
+                    # compensated-f32 norm mitigation).
+                    y = part - comp
+                    tt = total + y
+                    comp = (tt - total) - y
+                    carry = (tt, comp)
+                elif consumer == "restrict":
+                    q = p - S - 1
+
+                    @pl.when((q >= 1) & (q <= nx))
+                    def _():
+                        av = stencil_sum(
+                            l, lambda dq: out_plane(q + dq)
+                        )
+                        nvi = snv_plane(q) if has_nv else None
+                        rr = residual_plane(
+                            l, av, out_plane(q), sf_plane(q), nvi
+                        )
+                        rres[r3(q), :yl, :zl] = jnp.where(
+                            keep, rr, zero_plane
+                        )
+
+                    # Coarse plane m completes when r[2m+1] lands.
+                    m = ((q - 1) // 2)
+                    m_ready = (
+                        (((q + 32) % 2) == 1) & (m >= 1)
+                        & (m <= NCC * _TX)
+                    )
+                    if not c_tiny:
+                        @pl.when(
+                            m_ready & (((m - 1) % _TX) == 0)
+                            & ((m - 1) // _TX >= 2)
+                        )
+                        def _():
+                            cst_chunks((m - 1) // _TX - 2, wait=True)
+
+                    @pl.when(m_ready)
+                    def _():
+                        # fine plane 2m+1 may be the x halo (even nx) or
+                        # beyond (the staged coarse halo plane m=cnx+1):
+                        # those planes read as zero.
+                        top_r = jnp.where(
+                            2 * m + 1 > nx, zero_plane,
+                            rres[r3(2 * m + 1), :yl, :zl],
+                        )
+                        mid_r = jnp.where(
+                            2 * m > nx, zero_plane,
+                            rres[r3(2 * m), :yl, :zl],
+                        )
+                        sx_c = (
+                            0.25 * rres[r3(2 * m - 1), :yl, :zl]
+                            + 0.5 * mid_r + 0.25 * top_r
+                        )
+                        out_c = restrict_yz(
+                            sx_c, wy, wz, ckeep, czero, m <= cnx
+                        )
+                        if not c_tiny:
+                            cst[r16(m - 1), :cyl, :czl] = out_c
+                        else:
+                            tc[((m - 1) % 8), :cyl, :czl] = out_c
+                        if has_rv:
+                            # FAS also restricts the pre-smoothed v from
+                            # the out staging (reference :106-107).
+                            top_v = jnp.where(
+                                2 * m + 1 > nx, zero_plane,
+                                out_plane(2 * m + 1),
+                            )
+                            mid_v = jnp.where(
+                                2 * m > nx, zero_plane,
+                                out_plane(2 * m),
+                            )
+                            vx_c = (
+                                0.25 * out_plane(2 * m - 1)
+                                + 0.5 * mid_v + 0.25 * top_v
+                            )
+                            vout_c = restrict_yz(
+                                vx_c, wy, wz, ckeep, czero, m <= cnx
+                            )
+                            if not c_tiny:
+                                cst2[r16(m - 1), :cyl, :czl] = vout_c
+                            else:
+                                tc[
+                                    8 + ((m - 1) % 8),
+                                    :cyl, :czl,
+                                ] = vout_c
+
+                    if not c_tiny:
+                        @pl.when(
+                            m_ready
+                            & (((m - 1) % _TX) == _TX - 1)
+                        )
+                        def _():
+                            cst_chunks((m - 1) // _TX)
+
+                return carry
+
+            carry = jax.lax.fori_loop(
+                0, nsteps, body, (jnp.float32(0.0), jnp.float32(0.0))
+            )
+
+            # --- epilogue: drain outstanding DMAs ---------------------------
+            for back in (2, 1):
+                if NC - back >= 0:
+                    out_chunk(jnp.int32(NC - back), wait=True)
+            if consumer == "restrict":
+                if not c_tiny:
+                    for back in (2, 1):
+                        if NCC - back >= 0:
+                            cst_chunks(jnp.int32(NCC - back), wait=True)
+                else:
+                    # Tiny coarse target: f staged in tc planes 0..cnx,
+                    # FAS v in planes 8..8+cnx; one whole-extent DMA each.
+                    ncst = cnx + 1
+                    cps = [
+                        pltpu.make_async_copy(
+                            tc.at[pl.ds(0, ncst), :cyl, :czl],
+                            buf(lc, 1).at[pl.ds(1, ncst), :, :czl],
+                            sem.at[5, 0],
+                        )
+                    ]
+                    if has_rv:
+                        for si, which in ((6, 0), (7, 2)):
+                            cps.append(
+                                pltpu.make_async_copy(
+                                    tc.at[pl.ds(8, ncst), :cyl, :czl],
+                                    buf(lc, which).at[
+                                        pl.ds(1, ncst), :, :czl
+                                    ],
+                                    sem.at[si, 0],
+                                )
+                            )
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+
+            if consumer == "norm":
+                return carry[0]
+            return None
+
+        # ------------------------------------------------------------------
+        # Tiny resident pass (alloc x-extent <= 16): the whole level lives
+        # in VMEM, all plane indices static, loops fully unrolled.
+        # ------------------------------------------------------------------
+        def resident_pass(l, src, n_sweeps, consumer):
+            nx, ny, nz = dims[l]
+            ax = shapes[l][0]
+            yl = shapes[l][1]
+            zl = zls[l]
+            S = n_sweeps
+            keep = keep_mask((yl, zl), ny, nz)
+            zero_plane = jnp.zeros((yl, zl), dtype)
+            vref, fref = buf(l, 0), buf(l, 1)
+            nvref = buf(l, 2) if has_nv else None
+
+            def load(ref, dst, si, n=ax, yy=yl, zz=zl):
+                return pltpu.make_async_copy(
+                    ref.at[pl.ds(0, n), :, :zz],
+                    dst.at[pl.ds(0, n), :yy, :zz],
+                    sem.at[si, 0],
+                )
+
+            cps = [load(fref, tf, 1)]
+            if src in ("hbm", "prolong"):
+                cps.append(load(vref, tv, 0))
+            if has_nv:
+                cps.append(load(nvref, tnv, 2))
+            if src == "prolong":
+                lcp = l + 1
+                pcax = shapes[lcp][0]
+                pcyl = shapes[lcp][1]
+                pczl = zls[lcp]
+                cps.append(
+                    load(buf(lcp, 0), tc, 3, n=pcax, yy=pcyl, zz=pczl)
+                )
+                if has_rv:
+                    cps.append(
+                        load(buf(lcp, 2), tnv, 6, n=pcax, yy=pcyl,
+                             zz=pczl)
+                    )
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+            def fpl(j):
+                return tf[j, :yl, :zl]
+
+            def nvpl(j):
+                return tnv[j, :yl, :zl] if has_nv else None
+
+            # Source generation.
+            if src == "hbm":
+                cur = [tv[j, :yl, :zl] for j in range(nx + 2)]
+            elif src == "zero":
+                cur = None
+            else:  # prolong
+                py = _prolong_matrix(pcyl, yl, ny, dtype)
+                pz = _prolong_matrix(pczl, zl, nz, dtype)
+                cur = [zero_plane]
+                for q in range(1, nx + 1):
+                    ca = tc[q // 2, :pcyl, :pczl]
+                    cb = tc[(q + 1) // 2, :pcyl, :pczl]
+                    if has_rv:
+                        ca = ca - tnv[q // 2, :pcyl, :pczl]
+                        cb = cb - tnv[(q + 1) // 2, :pcyl, :pczl]
+                    e_q = prolong_yz(0.5 * (ca + cb), py, pz)
+                    cur.append(
+                        jnp.where(keep, tv[q, :yl, :zl] + e_q, zero_plane)
+                    )
+                cur.append(zero_plane)
+
+            def st_sum(planes, j):
+                return stencil_sum(l, lambda dq: planes[j + dq])
+
+            for k in range(1, S + 1):
+                nxt = [zero_plane]
+                for j in range(1, nx + 1):
+                    if k == 1 and src == "zero":
+                        val = jacobi_zero_plane(l, fpl(j), nvpl(j))
+                    else:
+                        av = st_sum(cur, j)
+                        val = jacobi_plane(l, cur[j], av, fpl(j), nvpl(j))
+                    nxt.append(jnp.where(keep, val, zero_plane))
+                nxt.append(zero_plane)
+                cur = nxt
+
+            # Write back v.  For src='zero' the tv buffer was never loaded:
+            # zero its halo/pad planes so the write-back keeps the HBM
+            # invariant (cells outside the interior stay zero).
+            for j in range(1, nx + 1):
+                tv[j, :yl, :zl] = cur[j]
+            if src == "zero":
+                tv[0, :yl, :zl] = zero_plane
+                for j in range(nx + 1, ax):
+                    tv[j, :yl, :zl] = zero_plane
+            cp_out = pltpu.make_async_copy(
+                tv.at[pl.ds(0, ax), :yl, :zl],
+                vref.at[pl.ds(0, ax), :, :zl],
+                sem.at[4, 0],
+            )
+            cp_out.start()
+
+            result = None
+            if consumer == "restrict":
+                lc = l + 1
+                cnx, cny, cnz = dims[lc]
+                cyl = shapes[lc][1]
+                czl = zls[lc]
+                wy = _restrict_matrix(yl, cyl, cny, dtype)
+                wz = _restrict_matrix(zl, czl, cnz, dtype)
+                ckeep = keep_mask((cyl, czl), cny, cnz)
+                czero = jnp.zeros((cyl, czl), dtype)
+                rpl = [zero_plane]
+                for j in range(1, nx + 1):
+                    av = st_sum(cur, j)
+                    rr = residual_plane(l, av, cur[j], fpl(j), nvpl(j))
+                    rpl.append(jnp.where(keep, rr, zero_plane))
+                rpl.append(zero_plane)
+
+                def restr(planes, m):
+                    sx_c = (
+                        0.25 * planes[2 * m - 1]
+                        + 0.5 * planes[2 * m]
+                        + 0.25 * planes[2 * m + 1]
+                    )
+                    return restrict_yz(sx_c, wy, wz, ckeep, czero, True)
+
+                sources = [(rpl, 1, 5)]
+                if has_rv:
+                    # R(v) into coarse v and rest_v (reference :106-107).
+                    sources.extend([(cur, 0, 6), (cur, 2, 7)])
+                for planes, which, si in sources:
+                    for mm in range(shapes[lc][0]):
+                        val = restr(planes, mm) if 1 <= mm <= cnx \
+                            else czero
+                        tc[mm, :cyl, :czl] = val
+                    cpc = pltpu.make_async_copy(
+                        tc.at[pl.ds(0, shapes[lc][0]), :cyl, :czl],
+                        buf(lc, which).at[
+                            pl.ds(0, shapes[lc][0]), :, :czl
+                        ],
+                        sem.at[si, 0],
+                    )
+                    cpc.start()
+                    cpc.wait()
+            elif consumer == "norm":
+                total = jnp.float32(0.0)
+                comp = jnp.float32(0.0)
+                for j in range(1, nx + 1):
+                    av = st_sum(cur, j)
+                    rr = residual_plane(l, av, cur[j], fpl(j), nvpl(j))
+                    rr = jnp.where(keep, rr, zero_plane)
+                    part = jnp.sum(rr.astype(jnp.float32) ** 2)
+                    y = part - comp
+                    tt = total + y
+                    comp = (tt - total) - y
+                    total = tt
+                result = total
+
+            cp_out.wait()
+            return result
+
+        # ------------------------------------------------------------------
+        # FAS coarse-RHS fixup: f += A(restV)/h² + γ restV e^{restV}
+        # (reference :110-112; R(r) is already in f from the down pass).
+        # ------------------------------------------------------------------
+        def fas_fixup(lc):
+            nx, ny, nz = dims[lc]
+            yl = shapes[lc][1]
+            zl = zls[lc]
+            keep = keep_mask((yl, zl), ny, nz)
+            zero_plane = jnp.zeros((yl, zl), dtype)
+            fref = buf(lc, 1)
+            rvref = buf(lc, 2)
+
+            if tiny[lc]:
+                ax = shapes[lc][0]
+                cps = [
+                    pltpu.make_async_copy(
+                        rvref.at[pl.ds(0, ax), :, :zl],
+                        tv.at[pl.ds(0, ax), :yl, :zl],
+                        sem.at[0, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        fref.at[pl.ds(0, ax), :, :zl],
+                        tf.at[pl.ds(0, ax), :yl, :zl],
+                        sem.at[1, 0],
+                    ),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                rv = [tv[j, :yl, :zl] for j in range(nx + 2)]
+                for j in range(1, nx + 1):
+                    av = stencil_sum(lc, lambda dq, j=j: rv[j + dq])
+                    val = (
+                        tf[j, :yl, :zl] + av
+                        + gamma * rv[j] * jnp.exp(rv[j])
+                    )
+                    tf[j, :yl, :zl] = jnp.where(keep, val, zero_plane)
+                cp = pltpu.make_async_copy(
+                    tf.at[pl.ds(0, ax), :yl, :zl],
+                    fref.at[pl.ds(0, ax), :, :zl],
+                    sem.at[4, 0],
+                )
+                cp.start()
+                cp.wait()
+                return
+
+            NSL = _cdiv(nx + 2, _TX)
+            NC = _cdiv(nx, _TX)
+            nsteps = max(nx + 3, NC * _TX + 2)
+
+            def in_slabs(s, start):
+                for ref, dst, si in ((rvref, sv, 0), (fref, sf, 1)):
+                    cp = pltpu.make_async_copy(
+                        ref.at[pl.ds(s * _TX, _TX), :, :zl],
+                        dst.at[
+                            pl.ds((s % 2) * _TX, _TX), :yl, :zl
+                        ],
+                        sem.at[si, (s % 2)],
+                    )
+                    cp.start() if start else cp.wait()
+
+            def out_chunk(c, wait=False):
+                cp = pltpu.make_async_copy(
+                    outst.at[
+                        pl.ds((c % 2) * _TX, _TX), :yl, :zl
+                    ],
+                    fref.at[pl.ds(c * _TX + 1, _TX), :, :zl],
+                    sem.at[4, (c % 2)],
+                )
+                cp.wait() if wait else cp.start()
+
+            in_slabs(jnp.int32(0), True)
+
+            def body(p, _):
+                s = (p // _TX)
+                pos = (p % _TX)
+
+                @pl.when((pos == 0) & (s < NSL))
+                def _():
+                    in_slabs(s, False)
+
+                @pl.when((pos == 3) & (s + 1 < NSL))
+                def _():
+                    in_slabs(s + 1, True)
+
+                q = p - 1
+
+                @pl.when(
+                    (q >= 1) & (((q - 1) % _TX) == 0)
+                    & ((q - 1) // _TX >= 2)
+                )
+                def _():
+                    out_chunk((q - 1) // _TX - 2, wait=True)
+
+                @pl.when((q >= 1) & (q <= nx))
+                def _():
+                    def rd(dq):
+                        return sv[r16(q + dq), :yl, :zl]
+
+                    av = stencil_sum(lc, rd)
+                    rvq = rd(0)
+                    val = (
+                        sf[r16(q), :yl, :zl]
+                        + av + gamma * rvq * jnp.exp(rvq)
+                    )
+                    outst[r16(q - 1), :yl, :zl] = jnp.where(
+                        keep, val, zero_plane
+                    )
+
+                @pl.when((q > nx) & (q >= 1) & (q <= NC * _TX))
+                def _():
+                    outst[r16(q - 1), :yl, :zl] = zero_plane
+
+                @pl.when(
+                    (q >= 1) & (((q - 1) % _TX) == _TX - 1)
+                    & (q <= NC * _TX)
+                )
+                def _():
+                    out_chunk((q - 1) // _TX)
+
+                return 0
+
+            jax.lax.fori_loop(0, nsteps, body, 0)
+            for back in (2, 1):
+                if NC - back >= 0:
+                    out_chunk(jnp.int32(NC - back), wait=True)
+
+        # ------------------------------------------------------------------
+        # One V-cycle (reference :85-139).
+        # ------------------------------------------------------------------
+        def one_cycle():
+            np_done = 0
+
+            def more():
+                nonlocal np_done
+                np_done += 1
+                return _DEBUG_MAX_PASSES is None or \
+                    np_done <= _DEBUG_MAX_PASSES
+
+            for l in range(nlev - 1):
+                src = "hbm" if (l == 0 or has_rv) else "zero"
+                pass_fn = resident_pass if tiny[l] else stream_pass
+                if not more():
+                    return jnp.float32(0.0)
+                pass_fn(l, src, pre, "restrict")
+                if has_rv:
+                    if not more():
+                        return jnp.float32(0.0)
+                    fas_fixup(l + 1)
+            lcoarse = nlev - 1
+            pass_fn = resident_pass if tiny[lcoarse] else stream_pass
+            if not more():
+                return jnp.float32(0.0)
+            pass_fn(lcoarse, "hbm" if has_rv else "zero", pre + post, None)
+            sumsq = None
+            for l in range(nlev - 2, -1, -1):
+                pass_fn = resident_pass if tiny[l] else stream_pass
+                if not more():
+                    return jnp.float32(0.0)
+                sumsq = pass_fn(
+                    l, "prolong", post, "norm" if l == 0 else None
+                )
+            if sumsq is None:
+                sumsq = jnp.float32(0.0)
+            return sumsq
+
+        acc[0, 0] = jnp.int32(0)  # done flag
+
+        def cycle_body(i, _):
+            run = (i < ncyc_ref[0, 0]) & (acc[0, 0] == 0)
+
+            @pl.when(run)
+            def _():
+                sumsq = one_cycle()
+                norms_ref[i, 0] = sumsq
+                thr = thr_ref[0, 0]
+
+                @pl.when((thr >= 0.0) & (sumsq <= thr))
+                def _():
+                    acc[0, 0] = jnp.int32(1)
+
+            @pl.when(jnp.logical_not(run))
+            def _():
+                norms_ref[i, 0] = jnp.float32(-1.0)
+
+            return 0
+
+        jax.lax.fori_loop(0, maxk, cycle_body, 0)
+
+    # ---- call signature --------------------------------------------------
+    n_in = nlev * n_arr
+    scratch = [
+        pltpu.VMEM((16, y0, zl0), dtype),  # sv
+        pltpu.VMEM((16, y0, zl0), dtype),  # sf
+        pltpu.VMEM((16, y0, zl0), dtype),  # outst
+    ]
+    if has_nv:
+        scratch.append(pltpu.VMEM((16, y0, zl0), dtype))  # snv
+    for _ in range(n_gen):
+        scratch.append(pltpu.VMEM((3, y0, zl0), dtype))
+    scratch.append(pltpu.VMEM((3, y0, zl0), dtype))       # rres
+    scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))    # sc
+    scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))    # cst
+    if has_rv:
+        scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))  # sc2
+        scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))  # cst2
+    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tv
+    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tf
+    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tc
+    if has_nv or has_rv:
+        scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tnv
+    scratch.append(pltpu.SMEM((1, 2), jnp.int32))          # acc
+    scratch.append(pltpu.SemaphoreType.DMA((8, 2)))
+
+    out_shapes = []
+    out_specs = []
+    for l in range(nlev):
+        for _ in range(n_arr):
+            out_shapes.append(jax.ShapeDtypeStruct(shapes[l], dtype))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    out_shapes.append(jax.ShapeDtypeStruct((maxk, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # threshold
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # n_cycles
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        input_output_aliases={i: i for i in range(n_in)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def vcycle2_fused(
+    state_levels,
+    params: GridParams,
+    max_cycles: int = 1,
+    n_cycles=None,
+    threshold_sq=None,
+    interpret: bool = False,
+):
+    """Run up to ``max_cycles`` V-cycles in one launch.
+
+    Returns ``(fields, norms_sq)``: per-level (v, f [, newton_v|rest_v])
+    tuples (updated in place via aliasing) and the (max_cycles,) f32 vector
+    of per-cycle residual sum-of-squares (−1 marks cycles skipped by the
+    in-kernel early stop ``sumsq <= threshold_sq``).
+    """
+    key = (
+        params.stencil.values,
+        params.stencil.offsets,
+        params.mode,
+        params.omega,
+        params.gamma,
+        params.pre_smoothing,
+        params.post_smoothing,
+    )
+    dims_key = params.level_dims()
+    dtype_name = state_levels[0].v.dtype.name
+    call = _vcycle2_call(key, dims_key, dtype_name, max_cycles, interpret)
+
+    has_nv = params.mode == Mode.NEWTON
+    has_rv = params.mode == Mode.NONLINEAR
+    args = []
+    for lvl in state_levels:
+        args.extend([lvl.v, lvl.f])
+        if has_nv:
+            args.append(lvl.newton_v)
+        elif has_rv:
+            args.append(lvl.rest_v)
+    thr = jnp.full(
+        (1, 1), -1.0 if threshold_sq is None else threshold_sq, jnp.float32
+    )
+    ncyc = jnp.full(
+        (1, 1), max_cycles if n_cycles is None else n_cycles, jnp.int32
+    )
+    outs = call(*args, thr, ncyc)
+    n_arr = 3 if (has_nv or has_rv) else 2
+    norms = outs[-1][:, 0]
+    fields = []
+    for l in range(len(state_levels)):
+        o = outs[l * n_arr : (l + 1) * n_arr]
+        fields.append(tuple(o))
+    return fields, norms
+
+
+def batch_call(args, params: GridParams, maxk: int, ncyc, thr,
+               interpret: bool = False):
+    """Flat-array kernel invocation for the solver's jitted/donated batch
+    wrapper: ``args`` is the per-level (v, f [, newton_v|rest_v]) tuple,
+    ``ncyc``/``thr`` are (1,1) int32/float32 arrays.  Returns the raw pallas
+    outputs (aliased fields ..., norms (maxk,1))."""
+    key = (
+        params.stencil.values,
+        params.stencil.offsets,
+        params.mode,
+        params.omega,
+        params.gamma,
+        params.pre_smoothing,
+        params.post_smoothing,
+    )
+    call = _vcycle2_call(
+        key, params.level_dims(), args[0].dtype.name, maxk, interpret
+    )
+    return call(*args, thr, ncyc)

@@ -102,7 +102,14 @@ def find_error(
     tp = vc.trace_params(params, shardings)
     state = _prepare_find_error(state, params=tp, shardings=shardings)
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
-    state, _ = vc.solve(state, inner, shardings=shardings, timer=timer)
+    # Batch all inner cycles into one wavefront launch (the in-kernel
+    # tol=0.1 early stop preserves the reference's inner-solve behavior,
+    # src/cpu/NewtonSolver.cpp:94-104) — 2 launches per Newton step
+    # instead of ~11.
+    state, _ = vc.solve(
+        state, inner, shardings=shardings, timer=timer,
+        check_every=inner.maxiter,
+    )
     return _update_newton_v(state, params=tp)
 
 

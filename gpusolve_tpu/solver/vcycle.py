@@ -163,18 +163,12 @@ def vcycle(
     )
 
 
-def use_fused(params: GridParams, shardings) -> bool:
-    """Whole-cycle mega-kernel eligibility: single device, LINEAR/NEWTON,
-    pallas-capable backend, and a finest level big enough to matter."""
+def _fused_capable(params: GridParams, shardings) -> bool:
     if shardings is not None or params.backend == "xla":
         return False
     if params.dtype != "float32":
         # float64 routes to the XLA path: Mosaic has no f64 story and the
-        # fused kernel assumes (8,128) f32 tiling (VERDICT r1 weak #3).
-        return False
-    from gpusolve_tpu.ops import pallas_vcycle as pv
-
-    if not pv.supported(params):
+        # fused kernels assume (8,128) f32 tiling (VERDICT r1 weak #3).
         return False
     n = 1
     for d in params.grid_dim:
@@ -184,6 +178,25 @@ def use_fused(params: GridParams, shardings) -> bool:
     if params.backend == "pallas":
         return True
     return jax.default_backend() in ("tpu", "axon")
+
+
+def use_fused2(params: GridParams, shardings) -> bool:
+    """Wavefront whole-solve mega-kernel (ops/pallas_vcycle2) eligibility."""
+    if not _fused_capable(params, shardings):
+        return False
+    from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+
+    return pv2.supported(params)
+
+
+def use_fused(params: GridParams, shardings) -> bool:
+    """v1 whole-cycle mega-kernel eligibility (fallback when the wavefront
+    kernel's sweep caps reject the configuration)."""
+    if not _fused_capable(params, shardings):
+        return False
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+
+    return pv.supported(params)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -280,12 +293,130 @@ def compiled_cycle(
     return fn
 
 
+def _pack_levels(state: GridState, mode) -> Tuple:
+    args = []
+    for lvl in state.levels:
+        args.extend([lvl.v, lvl.f])
+        if mode == Mode.NEWTON:
+            args.append(lvl.newton_v)
+        elif mode == Mode.NONLINEAR:
+            args.append(lvl.rest_v)
+    return tuple(args)
+
+
+def _unpack_levels(state: GridState, outs, mode) -> GridState:
+    n_arr = 2 if mode == Mode.LINEAR else 3
+    levels = []
+    for i, lvl in enumerate(state.levels):
+        o = outs[i * n_arr : (i + 1) * n_arr]
+        kw = dict(v=o[0], f=o[1])
+        if mode == Mode.NEWTON:
+            kw["newton_v"] = o[2]
+        elif mode == Mode.NONLINEAR:
+            kw["rest_v"] = o[2]
+        levels.append(dataclasses.replace(lvl, **kw))
+    return dataclasses.replace(state, levels=tuple(levels))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "maxk"), donate_argnums=(0,)
+)
+def _vcycle2_batch(args, ncyc, thr, params: GridParams, maxk: int):
+    """Up to ``maxk`` V-cycles in one wavefront mega-kernel launch; field
+    buffers are donated so the in-place aliasing is copy-free."""
+    from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+
+    return pv2.batch_call(args, params, maxk, ncyc, thr)
+
+
+def _solve_fused2(
+    state: GridState,
+    params: GridParams,
+    tp: GridParams,
+    timer: Optional[Timer],
+    initial: float,
+    history: List[float],
+    check_every: int,
+) -> Tuple[GridState, List[float]]:
+    """Solve loop on the wavefront mega-kernel: batches of up to
+    ``check_every`` cycles per launch with the in-kernel early-stop test.
+
+    The kernel's stop threshold is the host criterion squared
+    (``res <= initial/(1/tol)``, reference src/cpu/CpuSolver.cpp:39), biased
+    up by 2 ulps so the kernel stops whenever the host would — the host
+    re-checks each returned norm, so batching never changes the residual
+    history or the final state, only how many cycles share a launch.
+    """
+    import numpy as np
+
+    mode = params.mode
+    k = max(1, min(check_every, params.maxiter))
+    thr_np = np.float32((initial / (1.0 / params.tol)) ** 2)
+    thr_np = np.nextafter(
+        np.nextafter(thr_np, np.float32(np.inf), dtype=np.float32),
+        np.float32(np.inf), dtype=np.float32,
+    )
+    thr = jnp.full((1, 1), thr_np, jnp.float32)
+
+    fnkey = ("v2", tp, k, _state_key(state))
+    fn = _compiled_cycles.get(fnkey)
+    if fn is None:
+        t0 = time.perf_counter()
+        fn = _vcycle2_batch.lower(
+            _pack_levels(state, mode),
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1), jnp.float32),
+            params=tp, maxk=k,
+        ).compile()
+        if timer is not None:
+            timer.add("compile", time.perf_counter() - t0)
+        _compiled_cycles[fnkey] = fn
+
+    i = 0
+    done = False
+    while i < params.maxiter and not done:
+        m = min(k, params.maxiter - i)
+        t0 = time.perf_counter()
+        outs = fn(
+            _pack_levels(state, mode),
+            jnp.full((1, 1), m, jnp.int32),
+            thr,
+        )
+        state = _unpack_levels(state, outs[:-1], mode)
+        # The once-per-batch device sync (the analogue of the reference's
+        # sumBuffer host accessor, src/sycl/SyclSolver.cpp:361-374).
+        if timer is not None:
+            with timer.section("sumBuffer"):
+                arr = np.asarray(outs[-1])
+        else:
+            arr = np.asarray(outs[-1])
+        batch_ms = (time.perf_counter() - t0) * 1000.0
+        executed = [float(x) for x in arr[:, 0] if x >= 0.0]
+        if not executed:  # defensive: kernel must run >= 1 cycle
+            break
+        per_ms = int(batch_ms / len(executed))
+        for x in executed:
+            res = float(np.sqrt(np.float32(x)))
+            history.append(res)
+            if params.print_progress:
+                line = f"iter: {i} residual: {res:.6g} Took {per_ms}ms"
+                if timer is not None:
+                    line += timer.suffix()
+                print(line)
+            i += 1
+            if res <= initial / (1.0 / params.tol):
+                done = True
+                break
+    return state, history
+
+
 def solve(
     state: GridState,
     params: GridParams,
     shardings: Optional[Tuple] = None,
     timer: Optional[Timer] = None,
     initial_residual: Optional[float] = None,
+    check_every: int = 1,
 ) -> Tuple[GridState, List[float]]:
     """Iterate V-cycles until ``res <= initialResidual·tol`` or maxiter
     (reference: src/cpu/CpuSolver.cpp:12-43; the stop test is written
@@ -303,7 +434,8 @@ def solve(
     if timer is None and params.print_progress:
         timer = Timer()
     tp = trace_params(params, shardings)
-    fused = use_fused(params, shardings)
+    fused2 = use_fused2(params, shardings)
+    fused = (not fused2) and use_fused(params, shardings)
     if initial_residual is None:
         state, initial = residual_norm(state, params=tp)
         initial = float(initial)
@@ -313,6 +445,11 @@ def solve(
     else:
         initial = float(initial_residual)
         history = []
+
+    if fused2:
+        return _solve_fused2(
+            state, params, tp, timer, initial, history, check_every
+        )
 
     cycle = compiled_cycle(state, tp, shardings, fused, timer)
     for i in range(params.maxiter):
