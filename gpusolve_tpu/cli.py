@@ -169,23 +169,37 @@ def main(argv=None) -> int:
             mesh_shape = tuple(int(t) for t in args.mesh.split(","))
             mesh = make_mesh(mesh_shape)
             if args.dist_engine == "spmd":
-                from gpusolve_tpu.dist import solve_spmd
+                from gpusolve_tpu.dist.spmd import (
+                    gather_solution,
+                    newton_solve_spmd,
+                    solve_spmd,
+                )
 
-                if params.mode != Mode.LINEAR:
-                    print(
-                        "--dist-engine spmd supports linear mode only",
-                        file=sys.stderr,
+                if params.mode == Mode.NEWTON:
+                    sp_state, history, plan = newton_solve_spmd(
+                        params, mesh
                     )
-                    return 1
-                state, history = solve_spmd(params, mesh)
-                if params.print_progress:
-                    print(f"Inital residual: {history[0]:.6g}")
-                    for i, res in enumerate(history[1:]):
-                        print(f"iter: {i} residual: {res:.6g}")
-                if args.dump or args.validate:
+                    solution_np = gather_solution(
+                        sp_state, plan, mesh, which=2
+                    )
+                else:
+                    sp_state, history, plan = solve_spmd(params, mesh)
+                    if params.print_progress:
+                        print(f"Inital residual: {history[0]:.6g}")
+                        for i, res in enumerate(history[1:]):
+                            print(f"iter: {i} residual: {res:.6g}")
+                    solution_np = gather_solution(sp_state, plan, mesh)
+                if args.dump:
+                    from gpusolve_tpu.utils.dump import dump_field
+
+                    dump_field(solution_np, args.dump)
+                    print(f"Dumped solution to {args.dump}")
+                if args.validate:
+                    from gpusolve_tpu.utils.dump import compare_analytic
+
+                    err = compare_analytic(solution_np, params.h)
                     print(
-                        "--dump/--validate not yet supported with the spmd "
-                        "engine", file=sys.stderr,
+                        f"max-abs error vs analytic solution: {err:.6g}"
                     )
                 return 0
             shardings = level_shardings(params, mesh)

@@ -2,18 +2,25 @@
 
 This is the hand-scheduled counterpart of the GSPMD path in
 gpusolve_tpu.dist: the whole V-cycle runs inside one ``shard_map`` region
-where every stencil application assembles a ghost-extended local block via
-six explicit face-plane ``ppermute`` exchanges (SURVEY.md §2.3's plan), norms
-reduce with ``psum``, and coarse levels below the distribution cutoff are
-consolidated to a replicated layout with ``all_gather`` (the multigrid
-analogue of pipeline-stage consolidation).
+where every stencil application assembles its ghost cells via explicit
+face-plane ``ppermute`` exchanges (SURVEY.md §2.3's plan), norms reduce with
+``psum``, and coarse levels below the distribution cutoff are consolidated to
+a replicated layout with ``all_gather`` (the multigrid analogue of
+pipeline-stage consolidation).
 
-Why it exists next to the GSPMD path: the partitioner-inserted collectives
-are correct but opaque; explicit exchanges give deterministic communication
-placement (one face plane per direction per stencil application — the
-roofline minimum) and a place to overlap interior compute with the permutes
-in a later iteration.  Numerics are identical; tests assert residual-sequence
-equality with the single-device solver.
+All three solver modes run distributed: LINEAR, NONLINEAR (FAS tau
+correction, restriction of v into coarse v and rest_v, up-leg ``v - restV``
+— reference src/cpu/CpuSolver.cpp:100-113, :121-125) and NEWTON (frozen
+``newton_v`` streamed per level; the outer driver ``newton_solve_spmd``
+mirrors src/cpu/NewtonSolver.cpp:10-44,83-108).
+
+Compute/communication overlap: smoother and residual stencils are computed
+from the *local* block alone (zero-padded shifts — every cell not on a shard
+face), with the six ghost face contributions added afterwards.  The ghost
+``ppermute``s carry no data dependency on the interior compute, so XLA is
+free to overlap them with the dominant local stencil work; only the thin
+face updates wait on the wires (SURVEY §2.3 row 4).  Stencils with corner
+taps fall back to the fully assembled ghost-extended form.
 
 Design notes
   * Distributed levels use a *mesh-aware* allocation: per axis,
@@ -24,7 +31,6 @@ Design notes
     zero boundary, so global edges need no special casing.
   * Levels below the cutoff are replicated: every shard redundantly runs the
     plain single-device ops (ops.xla) on gathered arrays.
-  * LINEAR mode only for now; FAS/Newton run distributed via the GSPMD path.
 
 Reference numerics: src/cpu/CpuSolver.cpp (cited per op in ops/xla.py).
 """
@@ -121,12 +127,37 @@ class SpmdPlan:
         self.nlev = nlev
 
 
+def _face_ghosts(u, mesh_shape):
+    """Collect the six neighbour face planes (one ppermute pair per axis).
+
+    Returns ``[(lo_ghost, hi_ghost)] * 3`` where ``lo_ghost`` is the plane
+    just below the block (sent by the lower neighbour; zeros at the global
+    edge — the Dirichlet boundary)."""
+    out = []
+    for ax, name in enumerate(_AXES):
+        m = mesh_shape[ax]
+        lo_idx = [slice(None)] * u.ndim
+        lo_idx[ax] = slice(0, 1)
+        hi_idx = [slice(None)] * u.ndim
+        hi_idx[ax] = slice(u.shape[ax] - 1, u.shape[ax])
+        if m > 1:
+            fwd = [(i, i + 1) for i in range(m - 1)]
+            bwd = [(i + 1, i) for i in range(m - 1)]
+            lo_ghost = lax.ppermute(u[tuple(hi_idx)], name, fwd)
+            hi_ghost = lax.ppermute(u[tuple(lo_idx)], name, bwd)
+        else:
+            lo_ghost = jnp.zeros_like(u[tuple(lo_idx)])
+            hi_ghost = jnp.zeros_like(u[tuple(hi_idx)])
+        out.append((lo_ghost, hi_ghost))
+    return out
+
+
 def _halo_exchange(u, mesh_shape):
     """Ghost-extend a local block by one cell per face via ppermute.
 
-    Missing neighbours (global edges) contribute zeros — the Dirichlet
-    boundary (ppermute's semantics for unaddressed targets).
-    """
+    Exchanges are sequential per axis ON the partially extended block, so
+    later axes forward earlier axes' ghosts — that is what fills the edge
+    and corner ghost cells the 27-point transfers read."""
     for ax, name in enumerate(_AXES):
         m = mesh_shape[ax]
         lo_idx = [slice(None)] * u.ndim
@@ -150,7 +181,7 @@ def _global_start(block, axis_name):
 
 
 def _interior_mask(plan: SpmdPlan, l: int, dtype):
-    """1.0 on cells whose *global* index is interior ([1, n] per axis)."""
+    """True on cells whose *global* index is interior ([1, n] per axis)."""
     bx, by, bz = plan.block[l]
     nx, ny, nz = plan.dims[l]
     gx = _global_start(bx, "x") + lax.broadcasted_iota(
@@ -170,8 +201,58 @@ def _interior_mask(plan: SpmdPlan, l: int, dtype):
     return keep
 
 
-def _stencil_local(asm, stencil, inv_h2, block):
-    """Σ s·asm[1+o : 1+o+b] / h² on a ghost-extended block."""
+def _face_taps_only(stencil) -> bool:
+    return all(
+        sum(1 for o in off if o) <= 1 for off in stencil.offsets
+    )
+
+
+def _shifted_local(v, off, block):
+    """v shifted by -off with zero fill (the local-only tap value)."""
+    tap = v
+    for ax, o in enumerate(off):
+        if o:
+            pad = [(0, 0)] * 3
+            sl = [slice(None)] * 3
+            if o > 0:
+                pad[ax] = (0, o)
+                sl[ax] = slice(o, o + block[ax])
+            else:
+                pad[ax] = (-o, 0)
+                sl[ax] = slice(0, block[ax])
+            tap = jnp.pad(tap, pad)[tuple(sl)]
+    return tap
+
+
+def _stencil_overlap(v, ghosts, stencil, inv_h2, block):
+    """A·v/h² computed local-first: the interior stencil uses only the local
+    block (no dependency on the ppermutes), then each face tap's ghost
+    contribution is added on its boundary plane — the structure that lets
+    XLA overlap the halo exchange with the dominant interior compute."""
+    acc = None
+    for val, off in zip(stencil.values, stencil.offsets):
+        term = val * _shifted_local(v, off, block)
+        acc = term if acc is None else acc + term
+    for val, off in zip(stencil.values, stencil.offsets):
+        axes = [a for a in range(3) if off[a]]
+        if not axes:
+            continue
+        ax = axes[0]
+        o = off[ax]
+        sl = [slice(None)] * 3
+        if o > 0:
+            sl[ax] = slice(block[ax] - 1, block[ax])
+            g = ghosts[ax][1]
+        else:
+            sl[ax] = slice(0, 1)
+            g = ghosts[ax][0]
+        acc = acc.at[tuple(sl)].add(val * g)
+    return acc * inv_h2
+
+
+def _stencil_assembled(asm, stencil, inv_h2, block):
+    """Σ s·asm[1+o : 1+o+b] / h² on a ghost-extended block (fallback for
+    stencils with corner taps)."""
     bx, by, bz = block
     acc = None
     for val, (ox, oy, oz) in zip(stencil.values, stencil.offsets):
@@ -257,17 +338,12 @@ def _slice_coarse_for_shard(coarse_repl, plan: SpmdPlan, lf: int):
 def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     """Construct ``(init_fn, cycle_fn, plan)``.
 
-    ``init_fn()`` returns the initial sharded state (a flat list of arrays:
-    per distributed level [v, f], then per replicated level [v, f], plus the
-    replicated scratch handled internally).  ``cycle_fn(state)`` runs one
-    V-cycle and returns ``(state, residual_norm)``.  Both are jitted; the
-    body runs inside shard_map.
+    State layout: a flat tuple with ``n_arr`` arrays per level — [v, f] for
+    LINEAR, [v, f, newton_v] for NEWTON, [v, f, rest_v] for NONLINEAR —
+    distributed levels first (block layout), then replicated levels (full
+    arrays).  ``cycle_fn(*state)`` runs one V-cycle and appends the
+    residual norm.
     """
-    if params.mode != Mode.LINEAR:
-        raise NotImplementedError(
-            "spmd engine: LINEAR mode only (use the GSPMD path for "
-            "FAS/Newton)"
-        )
     plan = SpmdPlan(params, mesh.devices.shape, cutoff)
     dtype = jnp.dtype(params.dtype)
     nd = plan.n_dist
@@ -275,23 +351,29 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     hs = [params.level_h(l) for l in range(nlev)]
     stencil = params.stencil
     omega = params.omega
+    gamma = params.gamma
+    mode = params.mode
+    has_nv = mode == Mode.NEWTON
+    has_rv = mode == Mode.NONLINEAR
+    n_arr = 3 if (has_nv or has_rv) else 2
+    overlap = _face_taps_only(stencil)
 
     shard_map = _shard_map
 
     dist_spec = P("x", "y", "z")
     repl_spec = P()
 
-    # state layout: [v_0, f_0, ..., v_{nd-1}, f_{nd-1}] distributed
-    #             + [v_l, f_l] replicated for l in [nd, nlev)
     in_specs = tuple(
-        [dist_spec] * (2 * nd) + [repl_spec] * (2 * (nlev - nd))
+        [dist_spec] * (n_arr * nd) + [repl_spec] * (n_arr * (nlev - nd))
     )
 
     def local_rhs(l):
         """Analytic RHS evaluated shard-locally from global coordinates
-        (device-convention, grid._device_rhs semantics)."""
+        (device-convention, grid._device_rhs semantics: linear at (i-1)h,
+        nonlinear at i·h — src/sycl/SyclGridData.cpp:49-104)."""
         bx, by, bz = plan.block[l]
         h = params.h
+        off = -1.0 if mode == Mode.LINEAR else 0.0
         gx = _global_start(bx, "x") + lax.broadcasted_iota(
             jnp.int32, (bx, by, bz), 0
         )
@@ -301,42 +383,77 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
         gz = _global_start(bz, "z") + lax.broadcasted_iota(
             jnp.int32, (bx, by, bz), 2
         )
-        x = (gx.astype(dtype) - 1.0) * h
-        y = (gy.astype(dtype) - 1.0) * h
-        z = (gz.astype(dtype) - 1.0) * h
+        x = (gx.astype(dtype) + off) * h
+        y = (gy.astype(dtype) + off) * h
+        z = (gz.astype(dtype) + off) * h
 
-        def f0(t):
-            return 100.0 * (t * (t - 1.0)) ** 4
+        if mode == Mode.LINEAR:
+            def f0(t):
+                return 100.0 * (t * (t - 1.0)) ** 4
 
-        def f2(t):
-            return (
-                100.0 * 4.0 * (t - 1.0) * (t - 1.0) * t * t
-                * (14.0 * t * t - 14.0 * t + 3.0)
+            def f2(t):
+                return (
+                    100.0 * 4.0 * (t - 1.0) * (t - 1.0) * t * t
+                    * (14.0 * t * t - 14.0 * t + 3.0)
+                )
+
+            val = -(
+                f2(x) * f0(y) * f0(z)
+                + f0(x) * f2(y) * f0(z)
+                + f0(x) * f0(y) * f2(z)
             )
-
-        val = -(
-            f2(x) * f0(y) * f0(z)
-            + f0(x) * f2(y) * f0(z)
-            + f0(x) * f0(y) * f2(z)
-        )
+        else:
+            ggx, ggy, ggz = x - x * x, y - y * y, z - z * z
+            prod = ggx * ggy * ggz
+            val = (
+                2.0 * (ggy * ggz + ggx * ggz + ggx * ggy)
+                + gamma * prod * jnp.exp(prod)
+            )
         keep = _interior_mask(plan, l, dtype)
         return jnp.where(keep, val, jnp.zeros_like(val))
 
-    def _smooth(l, v, f, n_iter):
+    def _apply_local(l, v):
+        """A·v/h² on a distributed level (overlap-structured when the
+        stencil has face taps only)."""
         inv_h2 = 1.0 / (hs[l] * hs[l])
-        w = omega * (hs[l] * hs[l]) / stencil.diag
+        if overlap:
+            ghosts = _face_ghosts(v, plan.mesh_shape)
+            return _stencil_overlap(
+                v, ghosts, stencil, inv_h2, plan.block[l]
+            )
+        asm = _halo_exchange(v, plan.mesh_shape)
+        return _stencil_assembled(asm, stencil, inv_h2, plan.block[l])
+
+    def _smooth(l, v, f, aux, n_iter):
+        """Damped Jacobi, all modes (reference :141-179; nonlinear :159-165;
+        Newton :166-172 with frozen newton_v)."""
+        pre_fac = stencil.diag / (hs[l] * hs[l])
+        w_lin = omega / pre_fac
         keep = _interior_mask(plan, l, dtype)
+        if has_nv:
+            lin = gamma * (1.0 + aux) * jnp.exp(aux)
         for _ in range(n_iter):
-            asm = _halo_exchange(v, plan.mesh_shape)
-            av = _stencil_local(asm, stencil, inv_h2, plan.block[l])
-            v = jnp.where(keep, v + w * (f - av), jnp.zeros_like(v))
+            av = _apply_local(l, v)
+            if mode == Mode.LINEAR:
+                upd = v + w_lin * (f - av)
+            elif mode == Mode.NONLINEAR:
+                ex = jnp.exp(v)
+                rr = f - (av + gamma * v * ex)
+                denom = pre_fac + gamma * (1.0 + v) * ex
+                upd = v + omega * (rr / denom)
+            else:
+                rr = f - (av + lin * v)
+                upd = v + omega * (rr / (pre_fac + lin))
+            v = jnp.where(keep, upd, jnp.zeros_like(v))
         return v
 
-    def _residual(l, v, f, with_norm):
-        inv_h2 = 1.0 / (hs[l] * hs[l])
+    def _residual(l, v, f, aux, with_norm):
         keep = _interior_mask(plan, l, dtype)
-        asm = _halo_exchange(v, plan.mesh_shape)
-        av = _stencil_local(asm, stencil, inv_h2, plan.block[l])
+        av = _apply_local(l, v)
+        if has_nv:
+            av = av + gamma * (1.0 + aux) * v * jnp.exp(aux)
+        elif has_rv:
+            av = av + gamma * v * jnp.exp(v)
         r = jnp.where(keep, f - av, jnp.zeros_like(v))
         if not with_norm:
             return r, None
@@ -348,102 +465,154 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     def local_vcycle(*state):
         state = list(state)
 
-        def vget(l):
-            if l < nd:
-                return state[2 * l], state[2 * l + 1]
-            base = 2 * nd + 2 * (l - nd)
-            return state[base], state[base + 1]
+        def sget(l):
+            base = n_arr * l
+            return state[base : base + n_arr]
 
-        def vset(l, v=None, f=None):
-            if l < nd:
-                if v is not None:
-                    state[2 * l] = v
-                if f is not None:
-                    state[2 * l + 1] = f
-            else:
-                base = 2 * nd + 2 * (l - nd)
-                if v is not None:
-                    state[base] = v
-                if f is not None:
-                    state[base + 1] = f
+        def sset(l, v=None, f=None, aux=None):
+            base = n_arr * l
+            if v is not None:
+                state[base] = v
+            if f is not None:
+                state[base + 1] = f
+            if aux is not None:
+                state[base + 2] = aux
 
         pre, post = params.pre_smoothing, params.post_smoothing
 
+        def aux_of(arrs):
+            return arrs[2] if n_arr == 3 else None
+
         # ---- distributed down-leg ----
         for l in range(nd):
-            v, f = vget(l)
-            v = _smooth(l, v, f, pre)
-            vset(l, v=v)
-            r, _ = _residual(l, v, f, with_norm=False)
+            arrs = sget(l)
+            v, f = arrs[0], arrs[1]
+            aux = aux_of(arrs)
+            v = _smooth(l, v, f, aux, pre)
+            sset(l, v=v)
+            r, _ = _residual(l, v, f, aux, with_norm=False)
             asm_r = _halo_exchange(r, plan.mesh_shape)
             if l + 1 < nd:
                 cb = plan.block[l + 1]
-                f_next = _restrict_local(asm_r, cb)
                 keep_c = _interior_mask(plan, l + 1, dtype)
-                f_next = jnp.where(
-                    keep_c, f_next, jnp.zeros_like(f_next)
-                )
-                vset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
+
+                def _mask_c(a):
+                    return jnp.where(keep_c, a, jnp.zeros_like(a))
+
+                f_next = _mask_c(_restrict_local(asm_r, cb))
+                if has_rv:
+                    # FAS (reference :100-113): restrict v into coarse v
+                    # and rest_v; f += A²ʰ(restV) + γ restV e^{restV}.
+                    asm_v = _halo_exchange(v, plan.mesh_shape)
+                    rv = _mask_c(_restrict_local(asm_v, cb))
+                    av_c = _apply_local(l + 1, rv)
+                    fas = av_c + gamma * rv * jnp.exp(rv)
+                    f_next = _mask_c(f_next + fas)
+                    sset(l + 1, v=rv, f=f_next, aux=rv)
+                else:
+                    sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
             else:
                 # distributed -> replicated consolidation
                 cb = tuple(b // 2 for b in plan.block[l])
-                f_part = _restrict_local(asm_r, cb)
-                f_next = _gather_to_replicated(
-                    f_part, plan, plan.alloc[nd]
-                )
-                # zero outside the logical coarse interior
                 nxc, nyc, nzc = plan.dims[nd]
                 mask = np.zeros(plan.alloc[nd], dtype=bool)
                 mask[1 : nxc + 1, 1 : nyc + 1, 1 : nzc + 1] = True
-                f_next = jnp.where(
-                    jnp.asarray(mask), f_next, jnp.zeros_like(f_next)
-                )
-                vset(nd, v=jnp.zeros_like(f_next), f=f_next)
+                mask = jnp.asarray(mask)
+
+                def _to_repl(local_part):
+                    g = _gather_to_replicated(
+                        local_part, plan, plan.alloc[nd]
+                    )
+                    return jnp.where(mask, g, jnp.zeros_like(g))
+
+                f_next = _to_repl(_restrict_local(asm_r, cb))
+                if has_rv:
+                    asm_v = _halo_exchange(v, plan.mesh_shape)
+                    rv = _to_repl(_restrict_local(asm_v, cb))
+                    a_coarse = xla.apply_stencil_fas(
+                        rv, plan.dims[nd], params, hs[nd]
+                    )
+                    sset(nd, v=rv, f=f_next + a_coarse, aux=rv)
+                else:
+                    sset(nd, v=jnp.zeros_like(f_next), f=f_next)
 
         # ---- replicated sub-hierarchy (plain single-device ops) ----
         for l in range(nd, nlev - 1):
-            v, f = vget(l)
-            v = xla.jacobi(v, f, plan.dims[l], params, hs[l], pre)
-            r, _ = xla.residual(v, f, plan.dims[l], params, hs[l])
-            vset(l, v=v)
-            vc, fc = vget(l + 1)
-            f_next = xla.restrict_full_weighting(
-                r, plan.dims[l], plan.dims[l + 1], vc.shape
+            arrs = sget(l)
+            v, f = arrs[0], arrs[1]
+            aux = aux_of(arrs)
+            nv_kw = dict(newton_v=aux) if has_nv else {}
+            v = xla.jacobi(v, f, plan.dims[l], params, hs[l], pre, **nv_kw)
+            r, _ = xla.residual(
+                v, f, plan.dims[l], params, hs[l], **nv_kw
             )
-            vset(l + 1, v=jnp.zeros_like(vc), f=f_next)
+            sset(l, v=v)
+            nxt = sget(l + 1)
+            f_next = xla.restrict_full_weighting(
+                r, plan.dims[l], plan.dims[l + 1], nxt[0].shape
+            )
+            if has_rv:
+                rv = xla.restrict_full_weighting(
+                    v, plan.dims[l], plan.dims[l + 1], nxt[0].shape
+                )
+                a_coarse = xla.apply_stencil_fas(
+                    rv, plan.dims[l + 1], params, hs[l + 1]
+                )
+                sset(l + 1, v=rv, f=f_next + a_coarse, aux=rv)
+            else:
+                sset(l + 1, v=jnp.zeros_like(nxt[0]), f=f_next)
         # coarsest
-        vL, fL = vget(nlev - 1)
+        arrs = sget(nlev - 1)
+        nv_kw = dict(newton_v=aux_of(arrs)) if has_nv else {}
         vL = xla.jacobi(
-            vL, fL, plan.dims[nlev - 1], params, hs[nlev - 1], pre + post
+            arrs[0], arrs[1], plan.dims[nlev - 1], params, hs[nlev - 1],
+            pre + post, **nv_kw
         )
-        vset(nlev - 1, v=vL)
+        sset(nlev - 1, v=vL)
         for l in range(nlev - 1, nd, -1):
-            vc, _ = vget(l)
-            vf, ff = vget(l - 1)
+            arrs_c = sget(l)
+            vc = arrs_c[0]
+            if has_rv:
+                vc = vc - arrs_c[2]  # v -= restV (reference :121-125)
+            arrs_f = sget(l - 1)
+            vf, ff = arrs_f[0], arrs_f[1]
             e = xla.interpolate(
                 vc, plan.dims[l], plan.dims[l - 1], vf.shape
             )
             vf = vf + e
-            vf = xla.jacobi(vf, ff, plan.dims[l - 1], params, hs[l - 1], post)
-            vset(l - 1, v=vf)
+            nv_kw = dict(newton_v=aux_of(arrs_f)) if has_nv else {}
+            vf = xla.jacobi(
+                vf, ff, plan.dims[l - 1], params, hs[l - 1], post, **nv_kw
+            )
+            sset(l - 1, v=vf)
 
         # ---- replicated -> distributed prolongation ----
         for l in range(nd, 0, -1):
-            vf, ff = vget(l - 1)
+            arrs_f = sget(l - 1)
+            vf, ff = arrs_f[0], arrs_f[1]
+            aux_f = aux_of(arrs_f)
             if l == nd:
-                vc, _ = vget(nd)
+                arrs_c = sget(nd)
+                vc = arrs_c[0]
+                if has_rv:
+                    vc = vc - arrs_c[2]
                 asm_c = _slice_coarse_for_shard(vc, plan, l - 1)
             else:
-                vc, _ = vget(l)
+                arrs_c = sget(l)
+                vc = arrs_c[0]
+                if has_rv:
+                    vc = vc - arrs_c[2]
                 asm_c = _halo_exchange(vc, plan.mesh_shape)
             e = _prolong_local(asm_c, plan.block[l - 1])
             keep = _interior_mask(plan, l - 1, dtype)
             vf = jnp.where(keep, vf + e, jnp.zeros_like(vf))
-            vf = _smooth(l - 1, vf, ff, post)
-            vset(l - 1, v=vf)
+            vf = _smooth(l - 1, vf, ff, aux_f, post)
+            sset(l - 1, v=vf)
 
-        v0, f0_ = vget(0)
-        _, ss = _residual(0, v0, f0_, with_norm=True)
+        arrs0 = sget(0)
+        _, ss = _residual(
+            0, arrs0[0], arrs0[1], aux_of(arrs0), with_norm=True
+        )
         return tuple(state) + (jnp.sqrt(ss),)
 
     out_specs = in_specs + (repl_spec,)
@@ -461,12 +630,17 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
         out = []
         for l in range(nd):
             bx, by, bz = plan.block[l]
-            out.append(jnp.zeros((bx, by, bz), dtype))
-            out.append(local_rhs(0) if l == 0 else
-                       jnp.zeros((bx, by, bz), dtype))
+            z = jnp.zeros((bx, by, bz), dtype)
+            out.append(z)
+            out.append(local_rhs(0) if l == 0 else z)
+            if n_arr == 3:
+                out.append(z)
         for l in range(nd, nlev):
-            out.append(jnp.zeros(plan.alloc[l], dtype))
-            out.append(jnp.zeros(plan.alloc[l], dtype))
+            z = jnp.zeros(plan.alloc[l], dtype)
+            out.append(z)
+            out.append(z)
+            if n_arr == 3:
+                out.append(z)
         return tuple(out)
 
     init_smapped = shard_map(
@@ -483,42 +657,83 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     return init_fn, cycle_fn, plan
 
 
-def solve_spmd(
-    params: GridParams, mesh: Mesh, cutoff: int = 4
-) -> Tuple[tuple, List[float]]:
-    """Full explicit-halo SPMD solve (LINEAR mode).  Returns the final state
-    tuple and the residual history — comparable against the single-device
-    solver's history."""
-    init_fn, cycle_fn, plan = build_spmd_solver(params, mesh, cutoff)
-    state = init_fn()
+def _build_residual_norm(params: GridParams, mesh: Mesh, plan: SpmdPlan,
+                         against_f=None):
+    """Jitted distributed residual-norm of the finest level (v, f [, aux])."""
+    dtype = jnp.dtype(params.dtype)
+    has_aux = params.mode != Mode.LINEAR
+    hs0 = params.level_h(0)
+    stencil = params.stencil
+    gamma = params.gamma
+    overlap = _face_taps_only(stencil)
 
-    # Initial residual (one cycle-shaped call would smooth; compute directly
-    # with a tiny shard_map over the residual op).
-    shard_map = _shard_map
-
-    def local_r0(v, f):
+    def local_r0(v, f, *aux):
         inv_h2 = 1.0 / (hs0 * hs0)
-        keep = _interior_mask(plan, 0, jnp.dtype(params.dtype))
-        asm = _halo_exchange(v, plan.mesh_shape)
-        av = _stencil_local(asm, params.stencil, inv_h2, plan.block[0])
+        keep = _interior_mask(plan, 0, dtype)
+        if overlap:
+            ghosts = _face_ghosts(v, plan.mesh_shape)
+            av = _stencil_overlap(
+                v, ghosts, stencil, inv_h2, plan.block[0]
+            )
+        else:
+            asm = _halo_exchange(v, plan.mesh_shape)
+            av = _stencil_assembled(asm, stencil, inv_h2, plan.block[0])
+        if params.mode == Mode.NEWTON:
+            nv = aux[0]
+            av = av + gamma * (1.0 + nv) * v * jnp.exp(nv)
+        elif params.mode == Mode.NONLINEAR:
+            av = av + gamma * v * jnp.exp(v)
         r = jnp.where(keep, f - av, jnp.zeros_like(v))
         ss = jnp.sum(r * r)
         for name in _AXES:
             ss = lax.psum(ss, name)
         return jnp.sqrt(ss)
 
-    hs0 = params.level_h(0)
-    r0_fn = jax.jit(
-        shard_map(
+    n_in = 3 if has_aux else 2
+    return jax.jit(
+        _shard_map(
             local_r0,
             mesh=mesh,
-            in_specs=(P("x", "y", "z"), P("x", "y", "z")),
+            in_specs=tuple([P("x", "y", "z")] * n_in),
             out_specs=P(),
             check_rep=False,
         )
     )
-    initial = float(r0_fn(state[0], state[1]))
-    history = [initial]
+
+
+def gather_solution(state, plan: SpmdPlan, mesh: Mesh,
+                    which: int = 0) -> np.ndarray:
+    """Assemble the finest-level field ``which`` (0 = v, 2 = aux) from a
+    sharded state into the logical padded global array (host numpy) — the
+    spmd engine's dump/validate surface."""
+    n_arr = 3 if plan.params.mode != Mode.LINEAR else 2
+    arr = state[which if which < n_arr else 0]
+    full = np.asarray(jax.device_get(arr))  # sharded -> host gather
+    nx, ny, nz = plan.dims[0]
+    return full[: nx + 2, : ny + 2, : nz + 2]
+
+
+def solve_spmd(
+    params: GridParams, mesh: Mesh, cutoff: int = 4,
+    state=None, plan: Optional[SpmdPlan] = None,
+    initial_residual: Optional[float] = None,
+) -> Tuple[tuple, List[float], SpmdPlan]:
+    """Full explicit-halo SPMD solve, any mode.  Returns
+    ``(final_state, residual_history, plan)`` — the history is comparable
+    against the single-device solver's."""
+    init_fn, cycle_fn, plan_ = build_spmd_solver(params, mesh, cutoff)
+    plan = plan or plan_
+    if state is None:
+        state = init_fn()
+
+    r0_fn = _build_residual_norm(params, mesh, plan)
+    n_arr = 3 if params.mode != Mode.LINEAR else 2
+    if initial_residual is None:
+        initial = float(r0_fn(*state[:n_arr]))
+        history = [initial]
+    else:
+        initial = float(initial_residual)
+        history = []
     for _ in range(params.maxiter):
         out = cycle_fn(*state)
         state = out[:-1]
@@ -526,4 +741,168 @@ def solve_spmd(
         history.append(res)
         if res <= initial / (1.0 / params.tol):
             break
-    return state, history
+    return state, history, plan
+
+
+def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
+    """Shard-mapped pieces of the outer Newton iteration
+    (reference src/cpu/NewtonSolver.cpp)."""
+    dtype = jnp.dtype(params.dtype)
+    nd = plan.n_dist
+    nlev = plan.nlev
+    stencil = params.stencil
+    gamma = params.gamma
+    hs = [params.level_h(l) for l in range(nlev)]
+    overlap = _face_taps_only(stencil)
+    dist_spec = P("x", "y", "z")
+    repl_spec = P()
+
+    def _specs(n_dist_arrs, n_repl_arrs):
+        return tuple(
+            [dist_spec] * n_dist_arrs + [repl_spec] * n_repl_arrs
+        )
+
+    def local_comp_f(v_nv, newton_f, f_out_dummy):
+        """F = newton_f − (A·ũ + γ ũ e^ũ) into level-0 f; returns also ‖F‖
+        (reference :48-81)."""
+        nv = v_nv
+        inv_h2 = 1.0 / (hs[0] * hs[0])
+        keep = _interior_mask(plan, 0, dtype)
+        if overlap:
+            ghosts = _face_ghosts(nv, plan.mesh_shape)
+            av = _stencil_overlap(
+                nv, ghosts, stencil, inv_h2, plan.block[0]
+            )
+        else:
+            asm = _halo_exchange(nv, plan.mesh_shape)
+            av = _stencil_assembled(asm, stencil, inv_h2, plan.block[0])
+        av = av + gamma * nv * jnp.exp(nv)
+        F = jnp.where(keep, newton_f - av, jnp.zeros_like(nv))
+        ss = jnp.sum(F * F)
+        for name in _AXES:
+            ss = lax.psum(ss, name)
+        return F, jnp.sqrt(ss)
+
+    comp_f_fn = jax.jit(
+        _shard_map(
+            local_comp_f, mesh=mesh,
+            in_specs=(dist_spec, dist_spec, dist_spec),
+            out_specs=(dist_spec, repl_spec),
+            check_rep=False,
+        )
+    )
+
+    def local_restrict_nv(*nvs):
+        """Restrict ũ to levels 1..nlev-2 — never the coarsest (reference
+        :88-92).  Input/output: per-level newton_v arrays."""
+        nvs = list(nvs)
+        for l in range(min(nd, nlev - 2)):
+            asm = _halo_exchange(nvs[l], plan.mesh_shape)
+            if l + 1 < nd:
+                cb = plan.block[l + 1]
+                keep_c = _interior_mask(plan, l + 1, dtype)
+                nvs[l + 1] = jnp.where(
+                    keep_c, _restrict_local(asm, cb),
+                    jnp.zeros_like(_restrict_local(asm, cb)),
+                )
+            else:
+                cb = tuple(b // 2 for b in plan.block[l])
+                part = _restrict_local(asm, cb)
+                g = _gather_to_replicated(part, plan, plan.alloc[nd])
+                nxc, nyc, nzc = plan.dims[nd]
+                mask = np.zeros(plan.alloc[nd], dtype=bool)
+                mask[1 : nxc + 1, 1 : nyc + 1, 1 : nzc + 1] = True
+                nvs[l + 1] = jnp.where(
+                    jnp.asarray(mask), g, jnp.zeros_like(g)
+                )
+        for l in range(nd, nlev - 2):
+            nvs[l + 1] = xla.restrict_full_weighting(
+                nvs[l], plan.dims[l], plan.dims[l + 1],
+                nvs[l + 1].shape,
+            )
+        return tuple(nvs)
+
+    restrict_nv_fn = jax.jit(
+        _shard_map(
+            local_restrict_nv, mesh=mesh,
+            in_specs=_specs(nd, nlev - nd),
+            out_specs=_specs(nd, nlev - nd),
+            check_rep=False,
+        )
+    )
+
+    def local_update_nv(nv, v):
+        return nv + v
+
+    update_nv_fn = jax.jit(
+        _shard_map(
+            local_update_nv, mesh=mesh,
+            in_specs=(dist_spec, dist_spec),
+            out_specs=dist_spec,
+            check_rep=False,
+        )
+    )
+
+    return comp_f_fn, restrict_nv_fn, update_nv_fn
+
+
+def newton_solve_spmd(
+    params: GridParams, mesh: Mesh, cutoff: int = 4
+) -> Tuple[tuple, List[float], SpmdPlan]:
+    """Distributed outer Newton iteration on the explicit-halo engine
+    (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
+    Jacobian RHS, ũ restricts to levels 1..L-2, an inner 10-cycle/tol-0.1
+    NEWTON-mode MG solve runs fully sharded, and ũ += v.
+
+    Returns ``(state, history, plan)`` where ``state`` is the inner solver's
+    sharded state whose newton_v holds the solution."""
+    assert params.mode == Mode.NEWTON
+    init_fn, cycle_fn, plan = build_spmd_solver(params, mesh, cutoff)
+    comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
+        params, mesh, plan
+    )
+    state = list(init_fn())
+    n_arr = 3
+    nd = plan.n_dist
+    nlev = plan.nlev
+
+    def nv_list():
+        return [state[n_arr * l + 2] for l in range(nlev)]
+
+    def set_nvs(nvs):
+        for l in range(nlev):
+            state[n_arr * l + 2] = nvs[l]
+
+    # newton_f: the immutable original RHS (level-0 f from init).
+    newton_f = state[1]
+
+    def comp_f():
+        F, res = comp_f_fn(state[2], newton_f, state[1])
+        state[1] = F
+        return float(res)
+
+    initial = comp_f()
+    history = [initial]
+    if params.print_progress:
+        print(f"Inital newton residual: {initial:.6g}")
+
+    inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
+    for i in range(params.maxiter):
+        comp_f()
+        # zero v on every level (reference :22)
+        for l in range(nlev):
+            state[n_arr * l] = jnp.zeros_like(state[n_arr * l])
+        set_nvs(list(restrict_nv_fn(*nv_list())))
+        st, _, _ = solve_spmd(
+            inner, mesh, cutoff, state=tuple(state), plan=plan,
+            initial_residual=None,
+        )
+        state = list(st)
+        state[2] = update_nv_fn(state[2], state[0])
+        res = comp_f()
+        history.append(res)
+        if params.print_progress:
+            print(f"newton iter: {i} residual: {res:.6g}")
+        if res <= initial / (1.0 / params.tol):
+            break
+    return tuple(state), history, plan

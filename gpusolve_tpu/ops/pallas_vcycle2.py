@@ -115,6 +115,12 @@ def supported(params: GridParams) -> bool:
         params.pre_smoothing + params.post_smoothing > 5
     ):
         return False
+    for d, shape in zip(dims, shapes):
+        # Streamed levels write interior x planes in 8-plane chunks from
+        # offset 1; the last chunk must fit the allocation, which holds
+        # exactly when nx % 8 is 7 or 0 (all 2^k-1 and 3*2^k grids).
+        if shape[0] > _TINY_AX and d[0] % 8 not in (0, 7):
+            return False
     return True
 
 

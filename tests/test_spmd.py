@@ -51,7 +51,7 @@ def test_spmd_matches_single_device(dims):
     _, ref_history = solve(build_grid(p), p)
 
     mesh = make_mesh((2, 2, 2))
-    _, history = solve_spmd(p, mesh, cutoff=3)
+    _, history, _ = solve_spmd(p, mesh, cutoff=3)
     assert len(history) == len(ref_history)
     np.testing.assert_allclose(history, ref_history, rtol=1e-10)
 
@@ -60,12 +60,42 @@ def test_spmd_anisotropic_mesh():
     p = make_params(dims=(31, 31, 31), maxiter=3)
     _, ref_history = solve(build_grid(p), p)
     mesh = make_mesh((4, 2, 1))
-    _, history = solve_spmd(p, mesh, cutoff=3)
+    _, history, _ = solve_spmd(p, mesh, cutoff=3)
     np.testing.assert_allclose(history, ref_history, rtol=1e-10)
 
 
-def test_spmd_mode_guard():
-    p = make_params().replace(mode=Mode.NONLINEAR)
+def test_spmd_fas_matches_single_device():
+    """FAS (nonlinear) on the explicit halo engine: residual sequences must
+    equal the single-device solver (VERDICT r1 item 2)."""
+    p = make_params(dims=(31, 31, 31), maxiter=3, mode=Mode.NONLINEAR)
+    _, ref_history = solve(build_grid(p), p)
     mesh = make_mesh((2, 2, 2))
-    with pytest.raises(NotImplementedError, match="LINEAR"):
-        solve_spmd(p, mesh)
+    _, history, _ = solve_spmd(p, mesh, cutoff=3)
+    np.testing.assert_allclose(history, ref_history, rtol=1e-10)
+
+
+def test_spmd_newton_matches_single_device():
+    """Outer Newton on the explicit halo engine vs the single-device Newton
+    driver (reference src/cpu/NewtonSolver.cpp parity)."""
+    from gpusolve_tpu import newton_solve
+    from gpusolve_tpu.dist.spmd import newton_solve_spmd
+
+    p = make_params(dims=(31, 31, 31), maxiter=3, mode=Mode.NEWTON)
+    _, ref_history = newton_solve(build_grid(p), p)
+    mesh = make_mesh((2, 2, 2))
+    _, history, _ = newton_solve_spmd(p, mesh, cutoff=3)
+    np.testing.assert_allclose(history, ref_history, rtol=1e-10)
+
+
+def test_spmd_gather_solution_validates():
+    """gather_solution assembles the sharded finest-level field for
+    dump/--validate (VERDICT r1 item 2)."""
+    from gpusolve_tpu.dist.spmd import gather_solution
+    from gpusolve_tpu.utils.dump import compare_analytic
+
+    p = make_params(dims=(31, 31, 31), maxiter=12, mode=Mode.NONLINEAR)
+    mesh = make_mesh((2, 2, 2))
+    state, _, plan = solve_spmd(p, mesh, cutoff=3)
+    sol = gather_solution(state, plan, mesh)
+    assert sol.shape == (33, 33, 33)
+    assert compare_analytic(sol, p.h) < 5e-3
