@@ -2,25 +2,34 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-roofline-derived target from BASELINE.json: achieved HBM bandwidth fraction
-relative to the 90%-of-roofline goal (1.0 = exactly the target).  The traffic
-model counts the minimal HBM bytes each V-cycle op must move at f32:
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against the roofline-derived target from BASELINE.json: the
+throughput an ideal *pass-per-op* implementation (the reference's kernel
+structure, src/sycl/SyclSolver.cpp:164-466) would reach at 90% of HBM peak
+with zero padding traffic.  Concretely::
 
-  * Jacobi sweep      read v, f; write v            → 12 B/point
-  * residual          read v, f; write r            → 12 B/point
-  * restriction       read fine r; write coarse f   → 4 B/pt each side
-  * coarse v zero     write                         → 4 B/point
-  * prolongation+add  read coarse v; write e; read v, e; write v
-  * final residual+norm fused with the residual pass
+    vs_baseline = achieved nnz/s / (nnz / (min_bytes / (0.90 * peak_bw)))
 
-Byte accounting uses the tile-aligned allocation shapes (physical = logical,
-see gpusolve_tpu.grid.alloc_shape).  Default size 511 — multigrid nesting
-requires 2^k-1 level dims (SURVEY's 513 would not converge; neither would it
-in the reference).
+``min_bytes`` is the op-by-op minimum HBM traffic for one V-cycle counted on
+DENSE logical volumes (no tile-alignment padding — round-1 VERDICT):
+
+  * Jacobi sweep      read v, f; write v            -> 12 B/point
+  * residual          read v, f; write r            -> 12 B/point
+  * restriction       read fine r; write coarse f
+  * coarse v zero     write
+  * prolongation+add  read coarse v; read v; write v (fused correction)
+
+The wavefront mega-kernel (ops/pallas_vcycle2) fuses all sweeps of a leg into
+one streaming pass, so it moves ~4x *less* than ``min_bytes`` and
+``vs_baseline``/``hbm_fraction`` may legitimately exceed 1.0/0.90: that is
+temporal blocking beating the unfused roofline, reported as standard
+"effective bandwidth".  The honest physically-streamed traffic is reported
+alongside as ``actual_streamed_gb`` / ``actual_hbm_gbps`` (the kernel is
+VPU-bound at that point, not HBM-bound).
 
 Environment knobs: BENCH_SIZE (default 511), BENCH_CYCLES (default 10),
-BENCH_MODE (default 0 = linear).
+BENCH_MODE (default 0 = linear), BENCH_CHECK_EVERY (default = BENCH_CYCLES;
+cycles per mega-kernel launch on the v2 path).
 """
 
 from __future__ import annotations
@@ -31,7 +40,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import json
-import os
 import time
 
 
@@ -58,13 +66,9 @@ def peak_bandwidth_gbps(device) -> float:
 
 
 def vcycle_cost_model(params, itemsize: int):
-    """(stencil_nnz, min_hbm_bytes) for one linear V-cycle.
-
-    Bytes are counted on the tile-aligned allocation (physical truth); the
-    prolongation is fused with the coarse-grid correction on the Pallas path
-    (read coarse v + read v + write v)."""
-    from gpusolve_tpu.grid import alloc_shape
-
+    """(stencil_nnz, min_hbm_bytes) for one V-cycle of the reference's
+    pass-per-op structure, counted on dense logical (interior+halo) volumes.
+    """
     dims = params.level_dims()
     nlev = params.num_levels
     pre, post = params.pre_smoothing, params.post_smoothing
@@ -72,26 +76,53 @@ def vcycle_cost_model(params, itemsize: int):
     bytes_ = 0
     for i, (nx, ny, nz) in enumerate(dims):
         interior = nx * ny * nz
-        ax, ay, az = alloc_shape((nx, ny, nz))
-        padded = ax * ay * az
+        dense = (nx + 2) * (ny + 2) * (nz + 2)
         sweeps = pre + post
         residuals = (1 + (1 if i == 0 else 0)) if i < nlev - 1 else 0
         nnz += (sweeps + residuals) * 7 * interior
-        bytes_ += (sweeps + residuals) * 3 * padded * itemsize
+        bytes_ += (sweeps + residuals) * 3 * dense * itemsize
         if i < nlev - 1:
-            cx, cy, cz = alloc_shape(dims[i + 1])
-            cpad = cx * cy * cz
+            cx, cy, cz = dims[i + 1]
+            cdense = (cx + 2) * (cy + 2) * (cz + 2)
             # restrict r->f, zero coarse v
-            bytes_ += (padded + cpad) * itemsize + cpad * itemsize
+            bytes_ += (dense + cdense) * itemsize + cdense * itemsize
             # fused prolongate+correct: read coarse v, read v, write v
-            bytes_ += (cpad + 2 * padded) * itemsize
+            bytes_ += (cdense + 2 * dense) * itemsize
     return nnz, bytes_
+
+
+def wavefront_traffic_model(params, itemsize: int):
+    """Physically-streamed HBM bytes per V-cycle of the wavefront mega-kernel
+    (ops/pallas_vcycle2): one down pass per level reads v,f and writes v once
+    plus the coarse RHS; one up pass reads the coarse correction and v,f and
+    writes v.  Lane (z) traffic is the dense ``z_live`` extent; levels with a
+    tiny x extent stay VMEM-resident between passes (counted once per leg).
+    """
+    from gpusolve_tpu.grid import alloc_shape
+    from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+
+    dims = params.level_dims()
+    nlev = params.num_levels
+    vol = []
+    for d in dims:
+        ax, ay, az = alloc_shape(d)
+        vol.append(ax * ay * pv2.z_live(d, (ax, ay, az)) * itemsize)
+    bytes_ = 0
+    for l in range(nlev):
+        down_out = vol[l + 1] if l + 1 < nlev else 0
+        if l == nlev - 1:
+            bytes_ += 3 * vol[l]  # single fused coarsest pass
+        else:
+            bytes_ += 3 * vol[l] + down_out  # down: read v,f write v + f2h
+            bytes_ += 3 * vol[l] + vol[l + 1]  # up: read v,f,coarse write v
+    return bytes_
 
 
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "511"))
     cycles = int(os.environ.get("BENCH_CYCLES", "10"))
     mode_num = int(os.environ.get("BENCH_MODE", "0"))
+    check_every = int(os.environ.get("BENCH_CHECK_EVERY", str(cycles)))
 
     import jax
 
@@ -101,7 +132,7 @@ def main() -> None:
 
     params = GridParams(
         maxiter=cycles,
-        tol=0.0,  # never stop early
+        tol=1e-30,  # never stop early
         grid_dim=(size, size, size),
         mode=Mode(mode_num),
         pre_smoothing=3,
@@ -114,67 +145,70 @@ def main() -> None:
     )
     tp = vc.trace_params(params)
 
-    state = build_grid(params)
-    jax.block_until_ready(state)
+    fused2 = vc.use_fused2(params, None)
+    fused = (not fused2) and vc.use_fused(params, None)
 
-    fused = vc.use_fused(params, None)
-
-    def cycle(state):
-        if fused:
-            return vc.vcycle_fused(state, params=tp)
-        return vc.vcycle(state, params=tp, shardings=None)
+    def run_solve():
+        """One full solve (maxiter cycles, no early stop) from a fresh grid;
+        returns wall seconds for the cycle loop only (initial residual and
+        state construction excluded)."""
+        state = build_grid(params)
+        state, r0 = vc.residual_norm(state, params=tp)
+        float(r0)  # sync: compile + first-fetch stall absorbed here
+        t0 = time.perf_counter()
+        vc.solve(
+            state, params, initial_residual=float(r0),
+            check_every=check_every,
+        )
+        return time.perf_counter() - t0
 
     # Warm-up: compile + absorb any first-fetch tunnel stall.  The tunneled
     # remote-compile service occasionally returns a transient HTTP 500 —
     # retry a few times before giving up.
     for attempt in range(3):
         try:
-            state, res = cycle(state)
-            float(res)
+            run_solve()
             break
         except Exception:
             if attempt == 2:
                 raise
             time.sleep(10)
 
-    t0 = time.perf_counter()
-    for _ in range(cycles):
-        state, res = cycle(state)
-    # block_until_ready is unreliable through the axon tunnel; force a
-    # dependent scalar fetch instead.
-    float(res)
-    dt = time.perf_counter() - t0
+    dt = min(run_solve() for _ in range(2))
     per_cycle = dt / cycles
 
     itemsize = 4 if params.dtype == "float32" else 8
     nnz, min_bytes = vcycle_cost_model(params, itemsize)
     nnz_per_s = nnz / per_cycle
-    achieved_gbps = min_bytes / per_cycle / 1e9
+    effective_gbps = min_bytes / per_cycle / 1e9
 
     dev = jax.devices()[0]
     peak = peak_bandwidth_gbps(dev)
-    bw_fraction = achieved_gbps / peak
+    bw_fraction = effective_gbps / peak
     target_fraction = 0.9  # BASELINE.md: >=90% of roofline on the smoother
     vs_baseline = bw_fraction / target_fraction
 
-    print(
-        json.dumps(
-            {
-                "metric": f"vcycle_stencil_nnz_per_s_{size}cubed",
-                "value": round(nnz_per_s / 1e9, 3),
-                "unit": "Gnnz/s",
-                "vs_baseline": round(vs_baseline, 4),
-                "per_cycle_ms": round(per_cycle * 1e3, 2),
-                "achieved_hbm_gbps": round(achieved_gbps, 1),
-                "peak_hbm_gbps": peak,
-                "hbm_fraction": round(bw_fraction, 4),
-                "device": getattr(dev, "device_kind", str(dev)),
-                "mode": Mode(mode_num).name,
-                "cycles": cycles,
-                "fused_kernel": fused,
-            }
-        )
-    )
+    out = {
+        "metric": f"vcycle_stencil_nnz_per_s_{size}cubed",
+        "value": round(nnz_per_s / 1e9, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "per_cycle_ms": round(per_cycle * 1e3, 2),
+        "effective_hbm_gbps": round(effective_gbps, 1),
+        "peak_hbm_gbps": peak,
+        "hbm_fraction": round(bw_fraction, 4),
+        "device": getattr(dev, "device_kind", str(dev)),
+        "mode": Mode(mode_num).name,
+        "cycles": cycles,
+        "fused_kernel": bool(fused2 or fused),
+    }
+    if fused2:
+        streamed = wavefront_traffic_model(params, itemsize)
+        out["kernel"] = "wavefront_v2"
+        out["check_every"] = check_every
+        out["actual_streamed_gb"] = round(streamed / 1e9, 2)
+        out["actual_hbm_gbps"] = round(streamed / per_cycle / 1e9, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

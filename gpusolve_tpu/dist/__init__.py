@@ -19,14 +19,21 @@ exchanges (6 per stencil application — the roofline minimum) inside
 ``shard_map``: mesh-aware per-level allocation keeps restriction and
 prolongation shard-local given a one-cell ghost, coarse levels consolidate
 to a replicated layout with ``all_gather``, and norms reduce with ``psum``.
-Currently LINEAR mode; residual sequences match the single-device solver to
-1e-10 on the test mesh.  Round-2 items: FAS/Newton schedules, Pallas-kernel
-local compute, and overlap of interior compute with the permutes.
+All three modes (LINEAR/FAS/Newton) run on the explicit engine; residual
+sequences match the single-device solver to 1e-10 on the test mesh.  Stencil
+applications are overlap-structured (interior from the local block, faces
+patched from the ghosts) so the permutes can run concurrently with interior
+compute.
+
+Multi-host: gpusolve_tpu.dist.multihost wraps ``jax.distributed.initialize``
+and builds ICI-topology-aware meshes (hosts stacked along one DCN axis);
+bench_multichip.py at the repo root is the scaling harness.
 """
 
 from gpusolve_tpu.dist.mesh import factor_devices, make_mesh
 from gpusolve_tpu.dist.sharding import level_shardings, shard_state
-from gpusolve_tpu.dist.spmd import solve_spmd
+from gpusolve_tpu.dist.spmd import newton_solve_spmd, solve_spmd
+from gpusolve_tpu.dist import multihost
 
 __all__ = [
     "factor_devices",
@@ -34,4 +41,6 @@ __all__ = [
     "level_shardings",
     "shard_state",
     "solve_spmd",
+    "newton_solve_spmd",
+    "multihost",
 ]
