@@ -37,6 +37,7 @@ Reference numerics: src/cpu/CpuSolver.cpp (cited per op in ops/xla.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Tuple
 
@@ -48,6 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpusolve_tpu.config import GridParams, Mode
 from gpusolve_tpu.grid import alloc_shape
+from gpusolve_tpu.ops import pallas_spmd
 from gpusolve_tpu.ops import xla
 
 _AXES = ("x", "y", "z")
@@ -127,14 +129,15 @@ class SpmdPlan:
         self.nlev = nlev
 
 
-def _face_ghosts(u, mesh_shape):
-    """Collect the six neighbour face planes (one ppermute pair per axis).
+def _face_ghosts(u, mesh_shape, axes=(0, 1, 2)):
+    """Collect the neighbour face planes (one ppermute pair per axis).
 
-    Returns ``[(lo_ghost, hi_ghost)] * 3`` where ``lo_ghost`` is the plane
-    just below the block (sent by the lower neighbour; zeros at the global
-    edge — the Dirichlet boundary)."""
+    Returns ``[(lo_ghost, hi_ghost)] * len(axes)`` where ``lo_ghost`` is the
+    plane just below the block (sent by the lower neighbour; zeros at the
+    global edge — the Dirichlet boundary)."""
     out = []
-    for ax, name in enumerate(_AXES):
+    for ax in axes:
+        name = _AXES[ax]
         m = mesh_shape[ax]
         lo_idx = [slice(None)] * u.ndim
         lo_idx[ax] = slice(0, 1)
@@ -178,6 +181,18 @@ def _halo_exchange(u, mesh_shape):
 
 def _global_start(block, axis_name):
     return lax.axis_index(axis_name) * block
+
+
+def _clean_level(plan, l, u):
+    """Zero the unwritten lane tail of a Pallas-level array (annotated on
+    the plan by build_spmd_solver) before a jnp consumer reads it."""
+    ps = getattr(plan, "ps_levels", None)
+    if ps and l < len(ps) and ps[l]:
+        zz = plan.zz_live[l]
+        if zz < plan.block[l][2]:
+            zi = lax.broadcasted_iota(jnp.int32, u.shape, 2)
+            return jnp.where(zi < zz, u, jnp.zeros_like(u))
+    return u
 
 
 def _interior_mask(plan: SpmdPlan, l: int, dtype):
@@ -264,23 +279,47 @@ def _stencil_assembled(asm, stencil, inv_h2, block):
     return acc * inv_h2
 
 
+def _restrict_factor(fe: int, cb: int, dtype):
+    """(fe, cb) separable full-weighting factor: coarse local j reads
+    assembled fine rows 2j+1+d, d ∈ {-1,0,1}, weights 1/4,1/2,1/4."""
+    ff = lax.broadcasted_iota(jnp.int32, (fe, cb), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (fe, cb), 1)
+    d = ff - (2 * cc + 1)
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    return w.astype(dtype)
+
+
+def _contract(arr, w, ax):
+    out = jnp.tensordot(
+        arr, w, axes=([ax], [0]), precision=lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(out, -1, ax)
+
+
 def _restrict_local(asm_fine, cblock):
     """27-point full weighting on a ghost-extended fine block; coarse local
-    cell j reads assembled fine 2j+d+1 (fine block = 2 × coarse block)."""
-    acc = None
-    w1 = (0.25, 0.5, 0.25)
-    for di, wi in zip((-1, 0, 1), w1):
-        for dj, wj in zip((-1, 0, 1), w1):
-            for dk, wk in zip((-1, 0, 1), w1):
-                w = wi * wj * wk
-                tap = asm_fine[
-                    1 + di : di + 2 * cblock[0] : 2,
-                    1 + dj : dj + 2 * cblock[1] : 2,
-                    1 + dk : dk + 2 * cblock[2] : 2,
-                ]
-                term = w * tap
-                acc = term if acc is None else acc + term
-    return acc
+    cell j reads assembled fine 2j+d+1 (fine block = 2 × coarse block).
+    Expressed as three separable matrix contractions — MXU matmuls on TPU
+    instead of the pathological stride-2 gather lowering."""
+    out = asm_fine
+    for ax in range(3):
+        out = _contract(
+            out, _restrict_factor(out.shape[ax], cblock[ax], out.dtype), ax
+        )
+    return out
+
+
+def _prolong_factor(ce: int, fb: int, dtype):
+    """(ce, fb) separable trilinear factor:
+    ``e[p] = 0.5·(asm[(p+2)//2] + asm[(p+3)//2])`` (injection at even p,
+    midpoint at odd — both parities of the repeat-and-average form)."""
+    cc = lax.broadcasted_iota(jnp.int32, (ce, fb), 0)
+    pp = lax.broadcasted_iota(jnp.int32, (ce, fb), 1)
+    w = jnp.where(cc == (pp + 2) // 2, 0.5, 0.0) + jnp.where(
+        cc == (pp + 3) // 2, 0.5, 0.0
+    )
+    return w.astype(dtype)
 
 
 def _prolong_local(asm_coarse, fblock):
@@ -289,16 +328,14 @@ def _prolong_local(asm_coarse, fblock):
     parities — injection at even m, midpoint at odd m), a shard whose fine
     block starts at global ``sf = 2·sc`` and whose assembled coarse slab
     starts at ``sc-1`` gets ``e_local[p] = 0.5·(R[p+2] + R[p+3])`` with
-    ``R = element-repeat(assembled coarse, 2)``."""
-    e = asm_coarse
+    ``R = element-repeat(assembled coarse, 2)`` — expressed as separable
+    matrix contractions (MXU matmuls on TPU)."""
+    out = asm_coarse
     for ax in range(3):
-        r = jnp.repeat(e, 2, axis=ax)
-        lo = [slice(None)] * 3
-        hi = [slice(None)] * 3
-        lo[ax] = slice(2, 2 + fblock[ax])
-        hi[ax] = slice(3, 3 + fblock[ax])
-        e = 0.5 * (r[tuple(lo)] + r[tuple(hi)])
-    return e
+        out = _contract(
+            out, _prolong_factor(out.shape[ax], fblock[ax], out.dtype), ax
+        )
+    return out
 
 
 def _gather_to_replicated(local_block, plan: SpmdPlan, shape):
@@ -335,14 +372,37 @@ def _slice_coarse_for_shard(coarse_repl, plan: SpmdPlan, lf: int):
     )
 
 
-def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
-    """Construct ``(init_fn, cycle_fn, plan)``.
+def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
+                      local_backend: str = "auto"):
+    """Construct ``(init_fn, cycle_fn, plan)`` — cached.
+
+    The traced cycle does not read maxiter/tol/print_progress, so those are
+    normalised out of the cache key: repeated solves (the bench's warm-up +
+    timed run, the Newton driver's per-outer-iteration inner solves) reuse
+    the same compiled executable instead of re-tracing and re-compiling a
+    fresh ``jax.jit`` wrapper each time (the analogue of
+    solver/vcycle.py's AOT cycle cache)."""
+    key = dataclasses.replace(
+        params, maxiter=0, tol=0.0, print_progress=False
+    )
+    return _build_spmd_solver(key, mesh, cutoff, local_backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
+                       local_backend: str):
+    """Uncached body of ``build_spmd_solver``.
 
     State layout: a flat tuple with ``n_arr`` arrays per level — [v, f] for
     LINEAR, [v, f, newton_v] for NEWTON, [v, f, rest_v] for NONLINEAR —
     distributed levels first (block layout), then replicated levels (full
     arrays).  ``cycle_fn(*state)`` runs one V-cycle and appends the
     residual norm.
+
+    ``local_backend``: "auto" (Pallas shard-local kernels on TPU where the
+    level geometry supports them — round-1 VERDICT item 3), "pallas"
+    (force, interpret-mode off-TPU; used by tests), or "xla" (jnp local
+    compute everywhere).
     """
     plan = SpmdPlan(params, mesh.devices.shape, cutoff)
     dtype = jnp.dtype(params.dtype)
@@ -357,6 +417,60 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     has_rv = mode == Mode.NONLINEAR
     n_arr = 3 if (has_nv or has_rv) else 2
     overlap = _face_taps_only(stencil)
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    if local_backend == "pallas":
+        use_ps = pallas_spmd.supported(params)
+    elif local_backend == "auto":
+        use_ps = (not interp) and pallas_spmd.supported(params)
+    else:
+        use_ps = False
+    ps_levels = [
+        use_ps and pallas_spmd.level_supported(
+            plan.block[l], plan.dims[l][2], plan.mesh_shape[2], params.dtype
+        )
+        for l in range(nd)
+    ]
+    zzs = [
+        pallas_spmd.z_live(
+            plan.block[l], plan.dims[l][2], plan.mesh_shape[2]
+        )
+        for l in range(nd)
+    ]
+    # The Newton outer helpers need the same geometry (see _newton_helpers).
+    plan.ps_levels = ps_levels
+    plan.zz_live = zzs
+
+    def _clean(l, u):
+        """Zero the unwritten lane tail of a Pallas-level array before any
+        jnp consumer reads it (fresh kernel outputs leave columns beyond
+        z_live undefined — ops/pallas_spmd.sweep_block docstring)."""
+        return _clean_level(plan, l, u)
+
+    def _faces2d(u):
+        """The x/y ppermuted ghost faces, squeezed to the 2-D layouts the
+        shard-local kernels take (a trailing length-1 lane axis would be
+        tile-padded to 128 in HBM).  z faces are not exchanged on this path:
+        the kernels require the z mesh axis unsplit (its ghosts are then the
+        zero Dirichlet boundary, synthesised in-kernel)."""
+        g = _face_ghosts(u, plan.mesh_shape, axes=(0, 1))
+        return (
+            g[0][0][0], g[0][1][0],
+            g[1][0][:, 0], g[1][1][:, 0],
+        )
+
+    def _bounds_arr(l):
+        """(1, 8) int32 inclusive local-index interior bounds per axis —
+        shard-dependent geometry delivered to the kernel as SMEM scalars."""
+        vals = []
+        for ax in range(3):
+            b = plan.block[l][ax]
+            n = plan.dims[l][ax]
+            gs = lax.axis_index(_AXES[ax]) * b
+            vals.append(jnp.maximum(jnp.int32(0), jnp.int32(1) - gs))
+            vals.append(jnp.minimum(jnp.int32(b - 1), jnp.int32(n) - gs))
+        vals.extend([jnp.int32(0), jnp.int32(0)])
+        return jnp.stack(vals).reshape(1, 8)
 
     shard_map = _shard_map
 
@@ -427,6 +541,14 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
     def _smooth(l, v, f, aux, n_iter):
         """Damped Jacobi, all modes (reference :141-179; nonlinear :159-165;
         Newton :166-172 with frozen newton_v)."""
+        if l < nd and ps_levels[l]:
+            b = _bounds_arr(l)
+            for _ in range(n_iter):
+                v = pallas_spmd.sweep_block(
+                    v, f, _faces2d(v), b, params, hs[l], zzs[l],
+                    newton_v=aux if has_nv else None, interpret=interp,
+                )
+            return v
         pre_fac = stencil.diag / (hs[l] * hs[l])
         w_lin = omega / pre_fac
         keep = _interior_mask(plan, l, dtype)
@@ -448,6 +570,18 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
         return v
 
     def _residual(l, v, f, aux, with_norm):
+        if l < nd and ps_levels[l]:
+            r, ss = pallas_spmd.residual_block(
+                v, f, _faces2d(v), _bounds_arr(l), params, hs[l], zzs[l],
+                newton_v=aux if has_nv else None, with_norm=with_norm,
+                interpret=interp,
+            )
+            if not with_norm:
+                return r, None
+            ss = ss.astype(dtype)
+            for name in _AXES:
+                ss = lax.psum(ss, name)
+            return r, ss
         keep = _interior_mask(plan, l, dtype)
         av = _apply_local(l, v)
         if has_nv:
@@ -491,7 +625,7 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)
             r, _ = _residual(l, v, f, aux, with_norm=False)
-            asm_r = _halo_exchange(r, plan.mesh_shape)
+            asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape)
             if l + 1 < nd:
                 cb = plan.block[l + 1]
                 keep_c = _interior_mask(plan, l + 1, dtype)
@@ -503,7 +637,7 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
                 if has_rv:
                     # FAS (reference :100-113): restrict v into coarse v
                     # and rest_v; f += A²ʰ(restV) + γ restV e^{restV}.
-                    asm_v = _halo_exchange(v, plan.mesh_shape)
+                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape)
                     rv = _mask_c(_restrict_local(asm_v, cb))
                     av_c = _apply_local(l + 1, rv)
                     fas = av_c + gamma * rv * jnp.exp(rv)
@@ -527,7 +661,7 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
 
                 f_next = _to_repl(_restrict_local(asm_r, cb))
                 if has_rv:
-                    asm_v = _halo_exchange(v, plan.mesh_shape)
+                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape)
                     rv = _to_repl(_restrict_local(asm_v, cb))
                     a_coarse = xla.apply_stencil_fas(
                         rv, plan.dims[nd], params, hs[nd]
@@ -602,7 +736,7 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
                 vc = arrs_c[0]
                 if has_rv:
                     vc = vc - arrs_c[2]
-                asm_c = _halo_exchange(vc, plan.mesh_shape)
+                asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape)
             e = _prolong_local(asm_c, plan.block[l - 1])
             keep = _interior_mask(plan, l - 1, dtype)
             vf = jnp.where(keep, vf + e, jnp.zeros_like(vf))
@@ -668,6 +802,7 @@ def _build_residual_norm(params: GridParams, mesh: Mesh, plan: SpmdPlan,
     overlap = _face_taps_only(stencil)
 
     def local_r0(v, f, *aux):
+        v = _clean_level(plan, 0, v)
         inv_h2 = 1.0 / (hs0 * hs0)
         keep = _interior_mask(plan, 0, dtype)
         if overlap:
@@ -710,23 +845,38 @@ def gather_solution(state, plan: SpmdPlan, mesh: Mesh,
     arr = state[which if which < n_arr else 0]
     full = np.asarray(jax.device_get(arr))  # sharded -> host gather
     nx, ny, nz = plan.dims[0]
-    return full[: nx + 2, : ny + 2, : nz + 2]
+    # Re-zero outside the interior: the halo is zero by construction, but
+    # the Pallas local path leaves lane columns beyond z_live unwritten in
+    # fresh buffers (ops/pallas_spmd.sweep_block docstring).
+    out = np.zeros((nx + 2, ny + 2, nz + 2), full.dtype)
+    out[1 : nx + 1, 1 : ny + 1, 1 : nz + 1] = full[
+        1 : nx + 1, 1 : ny + 1, 1 : nz + 1
+    ]
+    return out
 
 
 def solve_spmd(
     params: GridParams, mesh: Mesh, cutoff: int = 4,
     state=None, plan: Optional[SpmdPlan] = None,
     initial_residual: Optional[float] = None,
+    local_backend: str = "auto",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Full explicit-halo SPMD solve, any mode.  Returns
     ``(final_state, residual_history, plan)`` — the history is comparable
     against the single-device solver's."""
-    init_fn, cycle_fn, plan_ = build_spmd_solver(params, mesh, cutoff)
+    init_fn, cycle_fn, plan_ = build_spmd_solver(
+        params, mesh, cutoff, local_backend
+    )
     plan = plan or plan_
     if state is None:
         state = init_fn()
 
-    r0_fn = _build_residual_norm(params, mesh, plan)
+    # Cache the jitted r0 computation on the plan (the plan is itself
+    # cached per configuration, so repeated solves skip the recompile).
+    r0_fn = getattr(plan, "_r0_fn", None)
+    if r0_fn is None:
+        r0_fn = _build_residual_norm(params, mesh, plan)
+        plan._r0_fn = r0_fn
     n_arr = 3 if params.mode != Mode.LINEAR else 2
     if initial_residual is None:
         initial = float(r0_fn(*state[:n_arr]))
@@ -765,7 +915,7 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
     def local_comp_f(v_nv, newton_f, f_out_dummy):
         """F = newton_f − (A·ũ + γ ũ e^ũ) into level-0 f; returns also ‖F‖
         (reference :48-81)."""
-        nv = v_nv
+        nv = _clean_level(plan, 0, v_nv)
         inv_h2 = 1.0 / (hs[0] * hs[0])
         keep = _interior_mask(plan, 0, dtype)
         if overlap:
@@ -797,7 +947,9 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
         :88-92).  Input/output: per-level newton_v arrays."""
         nvs = list(nvs)
         for l in range(min(nd, nlev - 2)):
-            asm = _halo_exchange(nvs[l], plan.mesh_shape)
+            asm = _halo_exchange(
+                _clean_level(plan, l, nvs[l]), plan.mesh_shape
+            )
             if l + 1 < nd:
                 cb = plan.block[l + 1]
                 keep_c = _interior_mask(plan, l + 1, dtype)
@@ -847,7 +999,8 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
 
 
 def newton_solve_spmd(
-    params: GridParams, mesh: Mesh, cutoff: int = 4
+    params: GridParams, mesh: Mesh, cutoff: int = 4,
+    local_backend: str = "auto",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -857,7 +1010,9 @@ def newton_solve_spmd(
     Returns ``(state, history, plan)`` where ``state`` is the inner solver's
     sharded state whose newton_v holds the solution."""
     assert params.mode == Mode.NEWTON
-    init_fn, cycle_fn, plan = build_spmd_solver(params, mesh, cutoff)
+    init_fn, cycle_fn, plan = build_spmd_solver(
+        params, mesh, cutoff, local_backend
+    )
     comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
         params, mesh, plan
     )
@@ -895,7 +1050,7 @@ def newton_solve_spmd(
         set_nvs(list(restrict_nv_fn(*nv_list())))
         st, _, _ = solve_spmd(
             inner, mesh, cutoff, state=tuple(state), plan=plan,
-            initial_residual=None,
+            initial_residual=None, local_backend=local_backend,
         )
         state = list(st)
         state[2] = update_nv_fn(state[2], state[0])
