@@ -51,8 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=["gspmd", "spmd"],
         default="gspmd",
         help="distribution engine with --mesh: gspmd (partitioner-inserted "
-        "collectives, all modes) or spmd (explicit shard_map+ppermute halo "
-        "exchange, linear mode)",
+        "collectives) or spmd (explicit shard_map+ppermute halo exchange "
+        "with Pallas shard-local kernels on TPU); all modes on both",
     )
     ap.add_argument("--dump", default=None, metavar="PATH")
     ap.add_argument("--validate", action="store_true")
@@ -175,15 +175,21 @@ def main(argv=None) -> int:
                     solve_spmd,
                 )
 
+                # --backend xla/pallas selects the shard-local compute
+                # path; auto picks Pallas on TPU where geometry allows.
+                lb = args.backend if args.backend in ("xla", "pallas") \
+                    else "auto"
                 if params.mode == Mode.NEWTON:
                     sp_state, history, plan = newton_solve_spmd(
-                        params, mesh
+                        params, mesh, local_backend=lb
                     )
                     solution_np = gather_solution(
                         sp_state, plan, mesh, which=2
                     )
                 else:
-                    sp_state, history, plan = solve_spmd(params, mesh)
+                    sp_state, history, plan = solve_spmd(
+                        params, mesh, local_backend=lb
+                    )
                     if params.print_progress:
                         print(f"Inital residual: {history[0]:.6g}")
                         for i, res in enumerate(history[1:]):

@@ -155,13 +155,14 @@ def _face_ghosts(u, mesh_shape, axes=(0, 1, 2)):
     return out
 
 
-def _halo_exchange(u, mesh_shape):
+def _halo_exchange(u, mesh_shape, axes=(0, 1, 2)):
     """Ghost-extend a local block by one cell per face via ppermute.
 
     Exchanges are sequential per axis ON the partially extended block, so
     later axes forward earlier axes' ghosts — that is what fills the edge
     and corner ghost cells the 27-point transfers read."""
-    for ax, name in enumerate(_AXES):
+    for ax in axes:
+        name = _AXES[ax]
         m = mesh_shape[ax]
         lo_idx = [slice(None)] * u.ndim
         lo_idx[ax] = slice(0, 1)
@@ -472,6 +473,63 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         vals.extend([jnp.int32(0), jnp.int32(0)])
         return jnp.stack(vals).reshape(1, 8)
 
+    def _coarse_zz(lc):
+        return _round_up(plan.dims[lc][2] + 1, 128)
+
+    def _rr_fused(l):
+        """Down-leg fused residual+restrict eligibility (kernel streams the
+        fine level; coarse target must be a distributed block level)."""
+        return l + 1 < nd and ps_levels[l]
+
+    def _pl_fused(lc):
+        """Up-leg fused prolong+add eligibility for fine level lc-1 with
+        distributed coarse lc (the streamed coarse slab slice needs a
+        128-multiple lane extent within the coarse allocation)."""
+        return (
+            lc < nd and ps_levels[lc - 1]
+            and _coarse_zz(lc) <= plan.block[lc][2]
+        )
+
+    def _y_restrict_embed(x2, lc):
+        """y full-weighting of an x/z-restricted field (cbx, by, czz) to
+        the coarse block layout, embedding the czz lane extent into the
+        coarse allocation.  Coarse row k reads rows 2k-1..2k+1; the row -1
+        term is the lower y neighbour's last row (ppermute; zero at the
+        global edge)."""
+        cbx, by_, czz = x2.shape
+        cby, cbz = plan.block[lc][1], plan.block[lc][2]
+        pp = lax.broadcasted_iota(jnp.int32, (by_, cby), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (by_, cby), 1)
+        d = pp - 2 * cc
+        w = jnp.where(d == 0, 0.5, 0.0)
+        w = jnp.where((d == -1) | (d == 1), 0.25, w).astype(dtype)
+        out = _contract(x2, w, 1)
+        if plan.mesh_shape[1] > 1:
+            m = plan.mesh_shape[1]
+            glo = lax.ppermute(
+                x2[:, by_ - 1, :], "y", [(i, i + 1) for i in range(m - 1)]
+            )
+            out = out.at[:, 0, :].add(0.25 * glo)
+        if czz < cbz:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, cbz - czz)))
+        elif czz > cbz:
+            # The 128-multiple kernel lane extent can exceed a small coarse
+            # allocation; the excess columns are zero (wz valid mask).
+            out = out[:, :, :cbz]
+        return out
+
+    def _fix_x0(x2, last, w):
+        """Add the lower x neighbour's boundary term onto coarse plane 0
+        (the fused kernel cannot see the neighbour's last residual
+        plane)."""
+        m = plan.mesh_shape[0]
+        if m > 1:
+            prev = lax.ppermute(
+                last, "x", [(i, i + 1) for i in range(m - 1)]
+            )
+            x2 = x2.at[0].add(w * prev)
+        return x2
+
     shard_map = _shard_map
 
     dist_spec = P("x", "y", "z")
@@ -569,12 +627,12 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             v = jnp.where(keep, upd, jnp.zeros_like(v))
         return v
 
-    def _residual(l, v, f, aux, with_norm):
+    def _residual(l, v, f, aux, with_norm, write_r=True):
         if l < nd and ps_levels[l]:
             r, ss = pallas_spmd.residual_block(
                 v, f, _faces2d(v), _bounds_arr(l), params, hs[l], zzs[l],
                 newton_v=aux if has_nv else None, with_norm=with_norm,
-                interpret=interp,
+                interpret=interp, write_r=write_r,
             )
             if not with_norm:
                 return r, None
@@ -624,6 +682,34 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             aux = aux_of(arrs)
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)
+            if _rr_fused(l):
+                # Fused residual + x/z restriction: r never hits HBM
+                # (ops/pallas_spmd.residual_restrict_block docstring).
+                czz = _coarse_zz(l + 1)
+                xzr, rlast, xzv = pallas_spmd.residual_restrict_block(
+                    v, f, _faces2d(v), _bounds_arr(l), params, hs[l],
+                    zzs[l], czz, plan.dims[l + 1][2],
+                    newton_v=aux if has_nv else None, interpret=interp,
+                )
+                xzr = _fix_x0(xzr, rlast, 0.25)
+                keep_c = _interior_mask(plan, l + 1, dtype)
+                zero_c = jnp.zeros(keep_c.shape, dtype)
+                f_next = jnp.where(
+                    keep_c, _y_restrict_embed(xzr, l + 1), zero_c
+                )
+                if has_rv:
+                    rv = jnp.where(
+                        keep_c, _y_restrict_embed(xzv, l + 1), zero_c
+                    )
+                    av_c = _apply_local(l + 1, rv)
+                    fas = av_c + gamma * rv * jnp.exp(rv)
+                    f_next = jnp.where(
+                        keep_c, f_next + fas, jnp.zeros_like(f_next)
+                    )
+                    sset(l + 1, v=rv, f=f_next, aux=rv)
+                else:
+                    sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
+                continue
             r, _ = _residual(l, v, f, aux, with_norm=False)
             asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape)
             if l + 1 < nd:
@@ -736,6 +822,26 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 vc = arrs_c[0]
                 if has_rv:
                     vc = vc - arrs_c[2]
+                if _pl_fused(l):
+                    # Fused prolongation + correction add: stream the
+                    # xy-ghost-extended coarse block (z stays in padded
+                    # coordinates — unsplit), y-padded to the DMA tiling.
+                    asm_c = _halo_exchange(
+                        _clean(l, vc), plan.mesh_shape, axes=(0, 1)
+                    )
+                    pad_y = (-asm_c.shape[1]) % 8
+                    if pad_y:
+                        asm_c = jnp.pad(
+                            asm_c, ((0, 0), (0, pad_y), (0, 0))
+                        )
+                    vf = pallas_spmd.prolong_add_block(
+                        vf, asm_c, _bounds_arr(l - 1), zzs[l - 1],
+                        _coarse_zz(l), plan.dims[l - 1][2],
+                        interpret=interp,
+                    )
+                    vf = _smooth(l - 1, vf, ff, aux_f, post)
+                    sset(l - 1, v=vf)
+                    continue
                 asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape)
             e = _prolong_local(asm_c, plan.block[l - 1])
             keep = _interior_mask(plan, l - 1, dtype)
@@ -745,7 +851,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
 
         arrs0 = sget(0)
         _, ss = _residual(
-            0, arrs0[0], arrs0[1], aux_of(arrs0), with_norm=True
+            0, arrs0[0], arrs0[1], aux_of(arrs0), with_norm=True,
+            write_r=False,
         )
         return tuple(state) + (jnp.sqrt(ss),)
 

@@ -313,7 +313,8 @@ def _sweep_call(block, zz, dtype_name, key, h: float, interpret: bool):
 
 @functools.lru_cache(maxsize=None)
 def _residual_call(
-    block, zz, dtype_name, key, h: float, with_norm: bool, interpret: bool
+    block, zz, dtype_name, key, h: float, with_norm: bool, interpret: bool,
+    write_r: bool = True,
 ):
     stencil_values, stencil_offsets, mode, omega, gamma = key
     taps = tuple(zip(stencil_values, stencil_offsets))
@@ -356,12 +357,12 @@ def _residual_call(
             av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
         keep = _keep_mask(b_ref, sx, tx, by, zz)
         r = jnp.where(keep, fs[...] - av, jnp.zeros_like(av))
-        os_[...] = r
-
-        cp_o = pltpu.make_async_copy(
-            os_, out_ref.at[pl.ds(sx, tx), :, :zz], sem.at[9]
-        )
-        cp_o.start()
+        if write_r:
+            os_[...] = r
+            cp_o = pltpu.make_async_copy(
+                os_, out_ref.at[pl.ds(sx, tx), :, :zz], sem.at[9]
+            )
+            cp_o.start()
 
         if with_norm:
             # Per-plane scalar reduces feeding an explicit Kahan chain
@@ -398,7 +399,8 @@ def _residual_call(
             def _():
                 sum_ref[0, 0] = jnp.float32(0.0)
 
-        cp_o.wait()
+        if write_r:
+            cp_o.wait()
 
     n_in = 7 + (1 if has_nv else 0)
     scratch = [
@@ -424,7 +426,7 @@ def _residual_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(block, dtype),
+            jax.ShapeDtypeStruct(block if write_r else (8, 8, 128), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         scratch_shapes=scratch,
@@ -468,15 +470,375 @@ def sweep_block(
 def residual_block(
     v, f, faces, bounds, params: GridParams, h: float, zz: int,
     newton_v=None, with_norm: bool = False, interpret: bool = False,
+    write_r: bool = True,
 ):
     """Shard-local residual r = f − (A·v/h² + mode term); optionally the
-    shard-partial Kahan Σr² (caller must ``psum`` it across the mesh)."""
+    shard-partial Kahan Σr² (caller must ``psum`` it across the mesh).
+    ``write_r=False`` skips materialising r (norm-only final pass — the
+    returned first element is a dummy)."""
     call = _residual_call(
         v.shape, zz, v.dtype.name, _compile_key(params), h, with_norm,
-        interpret,
+        interpret, write_r,
     )
     if params.mode == Mode.NEWTON:
         r, s = call(v, f, newton_v, *faces, bounds)
     else:
         r, s = call(v, f, *faces, bounds)
     return r, s[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused down-leg consumer: residual + x/z-restriction (never materialises r)
+# ---------------------------------------------------------------------------
+#
+# The down-leg's residual is consumed only by the 27-point restriction, so
+# this kernel streams v, f once and emits the residual already restricted
+# along x (3-term over the stream ring, ctx coarse planes per x-tile) and z
+# (a per-plane MXU matmul against the padded-coordinate full-weighting
+# factor — z is never mesh-split here, so both fine and coarse z live in
+# padded-global coordinates, exactly pallas_vcycle2's restrict_yz z factor).
+# The y restriction stays outside (dist/spmd._y_restrict_xz): it needs the
+# shard's y ghosts, which a plain ppermute of the ⅛-volume intermediate
+# provides without any corner-ghost machinery.
+#
+# Shard-boundary coarse plane: xzr[0] reads fine r[-1] (the lower x
+# neighbour's last plane).  Rather than exchanging depth-2 v ghosts (whose
+# residual would in turn need corner ghosts), the kernel also outputs its
+# own z-contracted last residual plane; the caller adds
+# 0.25 * ppermute(r_last_z) onto xzr[0].  (reference restriction:
+# src/cpu/CpuSolver.cpp:211-238; FAS dual restriction :106-107)
+
+
+def _restrict_z_matrix(zz: int, czz: int, cnz: int, dtype):
+    """(zz, czz) padded-coordinate full-weighting z factor: coarse column k
+    reads fine 2k-1..2k+1 with weights 1/4,1/2,1/4 (valid k in [1, cnz])."""
+    ff = jax.lax.broadcasted_iota(jnp.int32, (zz, czz), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (zz, czz), 1)
+    d = ff - 2 * cc
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    valid = (cc >= 1) & (cc <= cnz)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _res_restrict_call(
+    block, zz, czz, cnz, dtype_name, key, h: float, fas: bool,
+    interpret: bool,
+):
+    stencil_values, stencil_offsets, mode, omega, gamma = key
+    taps = tuple(zip(stencil_values, stencil_offsets))
+    dtype = jnp.dtype(dtype_name)
+    bx, by, bz = block
+    cbx = bx // 2
+    inv_h2 = 1.0 / (h * h)
+    has_nv = mode == Mode.NEWTON
+    nonlin = mode == Mode.NONLINEAR
+    plane = by * zz * dtype.itemsize
+    tx = _pick_tx(bx, plane, per_tx=4 + (1 if has_nv else 0))
+    ntx = bx // tx
+    ctx = tx // 2
+
+    def kernel(*refs):
+        it = iter(refs)
+        v_ref, f_ref = next(it), next(it)
+        nv_ref = next(it) if has_nv else None
+        gxlo, gxhi, gylo, gyhi = next(it), next(it), next(it), next(it)
+        b_ref = next(it)
+        xzr_ref = next(it)
+        rlast_ref = next(it)
+        xzv_ref = next(it) if fas else None
+        vs, fs = next(it), next(it)
+        nvs = next(it) if has_nv else None
+        gys = next(it)
+        carry = next(it)
+        ost = next(it)
+        ost2 = next(it) if fas else None
+        sem = next(it)
+
+        t = pl.program_id(0)
+        sx = t * tx
+
+        cps = _start_io(
+            (v_ref, f_ref, nv_ref, gxlo, gxhi, gylo, gyhi),
+            (vs, fs, nvs, gys), sem, t, sx, tx, ntx, has_nv, zz,
+        )
+        for cp in cps:
+            cp.wait()
+
+        slab = vs[...]
+        center = slab[1 : 1 + tx]
+        av = _stencil_block(slab, gys, taps, tx, by, zz) * inv_h2
+        if nonlin:
+            av = av + gamma * center * jnp.exp(center)
+        elif has_nv:
+            nvi = nvs[...]
+            av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
+        keep = _keep_mask(b_ref, sx, tx, by, zz)
+        r = jnp.where(keep, fs[...] - av, jnp.zeros_like(av))
+
+        wz = _restrict_z_matrix(zz, czz, cnz, dtype)
+
+        def zc(p2d):
+            return jnp.dot(
+                p2d, wz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
+
+        # combined[i] = r[sx-1+i]: carry holds the previous program's last
+        # residual plane (zero at t==0 — the missing neighbour term arrives
+        # via the caller's r_last fix-up).
+        prev = carry[0]
+
+        @pl.when(t == 0)
+        def _():
+            pass  # carry was explicitly zeroed below before first use
+
+        for m in range(ctx):
+            def cplane(i, m=m):
+                idx = 2 * m + i  # combined index
+                if idx == 0:
+                    return jnp.where(t == 0, jnp.zeros_like(prev), prev)
+                return r[idx - 1]
+
+            sx_c = 0.25 * cplane(0) + 0.5 * cplane(1) + 0.25 * cplane(2)
+            ost[m] = zc(sx_c)
+            if fas:
+                # FAS also restricts the pre-smoothed v (v ring already
+                # holds plane sx-1, so no carry is needed).
+                vx_c = (
+                    0.25 * slab[2 * m]
+                    + 0.5 * slab[2 * m + 1]
+                    + 0.25 * slab[2 * m + 2]
+                )
+                ost2[m] = zc(vx_c)
+
+        carry[0] = r[tx - 1]
+
+        cps_o = [
+            pltpu.make_async_copy(
+                ost, xzr_ref.at[pl.ds(sx // 2, ctx)], sem.at[9]
+            )
+        ]
+        if fas:
+            cps_o.append(
+                pltpu.make_async_copy(
+                    ost2, xzv_ref.at[pl.ds(sx // 2, ctx)], sem.at[8]
+                )
+            )
+        for cp in cps_o:
+            cp.start()
+
+        @pl.when(t == ntx - 1)
+        def _():
+            rlast_ref[...] = zc(r[tx - 1])
+
+        for cp in cps_o:
+            cp.wait()
+
+    n_in = 7 + (1 if has_nv else 0)
+    scratch = [
+        pltpu.VMEM((tx + 2, by, zz), dtype),  # vs
+        pltpu.VMEM((tx, by, zz), dtype),      # fs
+    ]
+    if has_nv:
+        scratch.append(pltpu.VMEM((tx, by, zz), dtype))
+    scratch.append(pltpu.VMEM((2, tx, zz), dtype))   # gys
+    scratch.append(pltpu.VMEM((1, by, zz), dtype))   # carry (prev r plane)
+    scratch.append(pltpu.VMEM((ctx, by, czz), dtype))  # xzr staging
+    if fas:
+        scratch.append(pltpu.VMEM((ctx, by, czz), dtype))  # xzv staging
+    scratch.append(pltpu.SemaphoreType.DMA((10,)))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * (n_in - 1)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((cbx, by, czz), dtype),
+        jax.ShapeDtypeStruct((by, czz), dtype),
+    ]
+    if fas:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        out_shapes.append(jax.ShapeDtypeStruct((cbx, by, czz), dtype))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ntx,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+
+
+def residual_restrict_block(
+    v, f, faces, bounds, params: GridParams, h: float, zz: int,
+    czz: int, cnz: int, newton_v=None, interpret: bool = False,
+):
+    """Fused residual + x/z full-weighting restriction over a shard block.
+
+    Returns ``(xzr, r_last_z, xzv?)``: the x+z-restricted residual
+    (cbx, by, czz), the z-contracted last local residual plane (for the
+    caller's shard-boundary fix-up), and in NONLINEAR mode the dual
+    restriction of v.  The caller performs the y restriction and the
+    ``xzr[0] += 0.25 * ppermute(r_last_z)`` boundary term."""
+    fas = params.mode == Mode.NONLINEAR
+    call = _res_restrict_call(
+        v.shape, zz, czz, cnz, v.dtype.name, _compile_key(params), h, fas,
+        interpret,
+    )
+    if params.mode == Mode.NEWTON:
+        outs = call(v, f, newton_v, *faces, bounds)
+    else:
+        outs = call(v, f, *faces, bounds)
+    if fas:
+        xzr, rlast, xzv = outs
+        return xzr, rlast, xzv
+    xzr, rlast = outs
+    return xzr, rlast, None
+
+
+# ---------------------------------------------------------------------------
+# Fused up-leg producer: trilinear prolongation + coarse-grid correction
+# ---------------------------------------------------------------------------
+#
+# Streams the fine block and the XLA-assembled ghost-extended coarse block
+# (corner ghosts included — assembling the ⅛-volume coarse array in XLA is
+# cheap; what this kernel eliminates is the fine-volume tensordot chain,
+# its physical transposes, and the separate correction-add pass).  Per fine
+# plane p the x factor is the two-parity combine
+# ``0.5·(casm[(p+2)//2] + casm[(p+3)//2])`` (dist/spmd._prolong_local's
+# derivation); y/z expansion is two MXU matmuls per plane.
+# (reference interpolation: src/cpu/CpuSolver.cpp:240-290 fused with
+# ``v += e`` :130-132)
+
+
+def _prolong_y_matrix(cyp: int, by: int, dtype):
+    """(cyp, by) block-coordinate trilinear y factor against the assembled
+    (ghost-extended, 8-padded) coarse block: fine row p reads assembled
+    rows (p+2)//2 and (p+3)//2 with weight 0.5 each."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cyp, by), 0)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (cyp, by), 1)
+    w = jnp.where(cc == (pp + 2) // 2, 0.5, 0.0) + jnp.where(
+        cc == (pp + 3) // 2, 0.5, 0.0
+    )
+    return w.astype(dtype)
+
+
+def _prolong_z_matrix(czz: int, zz: int, nz: int, dtype):
+    """(czz, zz) padded-coordinate trilinear z factor (z is unsplit):
+    fine column m reads coarse m//2 and (m+1)//2 (pallas_vcycle2's
+    _prolong_matrix semantics), valid for interior m in [1, nz]."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (czz, zz), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (czz, zz), 1)
+    w = jnp.where(cc == mm // 2, 0.5, 0.0) + jnp.where(
+        cc == (mm + 1) // 2, 0.5, 0.0
+    )
+    valid = (mm >= 1) & (mm <= nz)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_add_call(
+    block, zz, casm_shape, czz_used, nz, dtype_name, interpret: bool
+):
+    dtype = jnp.dtype(dtype_name)
+    bx, by, bz = block
+    cxp, cyp, czp = casm_shape
+    plane = by * zz * dtype.itemsize
+    tx = _pick_tx(bx, plane, per_tx=3)
+    ntx = bx // tx
+    ctx = tx // 2
+
+    def kernel(v_ref, c_ref, b_ref, out_ref, vs, cs, os_, sem):
+        t = pl.program_id(0)
+        sx = t * tx
+
+        cp_v = pltpu.make_async_copy(
+            v_ref.at[pl.ds(sx, tx), :, :zz], vs, sem.at[0]
+        )
+        # coarse assembled planes (sx+2)//2 .. (sx+tx+2)//2 inclusive
+        cp_c = pltpu.make_async_copy(
+            c_ref.at[pl.ds(sx // 2 + 1, ctx + 1), :, :czz_used],
+            cs, sem.at[1],
+        )
+        cp_v.start()
+        cp_c.start()
+        cp_v.wait()
+        cp_c.wait()
+
+        py = _prolong_y_matrix(cyp, by, dtype)
+        pz = _prolong_z_matrix(czz_used, zz, nz, dtype)
+        keep = _keep_mask(b_ref, sx, tx, by, zz)
+
+        for i in range(tx):
+            p = sx + i  # block x coordinate
+            # assembled coarse plane indices (p+2)//2, (p+3)//2, offset by
+            # the slab start sx//2+1
+            a = (p + 2) // 2 - (sx // 2 + 1)
+            b = (p + 3) // 2 - (sx // 2 + 1)
+            ca = 0.5 * (cs[a] + cs[b])  # (cyp, czz)
+            tmp = jnp.dot(
+                ca, pz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            e_p = jnp.dot(
+                py.T, tmp.astype(dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
+            os_[i] = vs[i] + e_p
+
+        os_[...] = jnp.where(keep, os_[...], jnp.zeros_like(os_[...]))
+        cp_o = pltpu.make_async_copy(
+            os_, out_ref.at[pl.ds(sx, tx), :, :zz], sem.at[2]
+        )
+        cp_o.start()
+        cp_o.wait()
+
+    scratch = [
+        pltpu.VMEM((tx, by, zz), dtype),          # vs
+        pltpu.VMEM((ctx + 1, cyp, czz_used), dtype),  # coarse slab
+        pltpu.VMEM((tx, by, zz), dtype),          # out staging
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(ntx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct(block, dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+
+
+def prolong_add_block(
+    v, casm_padded, bounds, zz: int, czz_used: int, nz: int,
+    interpret: bool = False,
+):
+    """v + trilinear-prolonged coarse correction over a shard block.
+
+    ``casm_padded`` is the ghost-extended coarse block, y-padded to an
+    8-multiple sublane extent (Mosaic DMA tiling); its z extent carries the
+    coarse padded-global coordinates directly (z unsplit)."""
+    call = _prolong_add_call(
+        v.shape, zz, casm_padded.shape, czz_used, nz, v.dtype.name,
+        interpret,
+    )
+    return call(v, casm_padded, bounds)
