@@ -470,7 +470,11 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             gs = lax.axis_index(_AXES[ax]) * b
             vals.append(jnp.maximum(jnp.int32(0), jnp.int32(1) - gs))
             vals.append(jnp.minimum(jnp.int32(b - 1), jnp.int32(n) - gs))
-        vals.extend([jnp.int32(0), jnp.int32(0)])
+        # Spare slots: the shard's global x start and the global x
+        # interior extent — the trapezoid kernel masks ghost-zone
+        # generations by GLOBAL interior (the neighbour's cells are real).
+        vals.append(lax.axis_index("x") * jnp.int32(plan.block[l][0]))
+        vals.append(jnp.int32(plan.dims[l][0]))
         return jnp.stack(vals).reshape(1, 8)
 
     def _coarse_zz(lc):
@@ -529,6 +533,112 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             )
             x2 = x2.at[0].add(w * prev)
         return x2
+
+    # Trapezoid (communication-avoiding) smoothing: all sweeps of a leg in
+    # one kernel pass with 8-plane x-face slabs exchanged once.  Legal only
+    # with y and z unsplit (ops/pallas_spmd.multi_sweep_block docstring).
+    can_trap = plan.mesh_shape[1] == 1 and plan.mesh_shape[2] == 1
+
+    def _trap_ok(l, n_iter):
+        return (
+            can_trap and l < nd and ps_levels[l] and 1 <= n_iter <= 5
+            and plan.block[l][0] % pallas_spmd._GH == 0
+        )
+
+    def _x_slabs(u):
+        m = plan.mesh_shape[0]
+        g = pallas_spmd._GH
+        bx = u.shape[0]
+        if m > 1:
+            fwd = [(i, i + 1) for i in range(m - 1)]
+            bwd = [(i + 1, i) for i in range(m - 1)]
+            lo = lax.ppermute(u[bx - g:], "x", fwd)
+            hi = lax.ppermute(u[:g], "x", bwd)
+        else:
+            lo = jnp.zeros_like(u[:g])
+            hi = lo
+        return lo, hi
+
+    def _trap_smooth(l, v, f, aux, n_iter, with_norm=False):
+        vlo, vhi = _x_slabs(v)
+        flo, fhi = _x_slabs(f)
+        slabs = [vlo, vhi, flo, fhi]
+        if has_nv:
+            slabs.extend(_x_slabs(aux))
+        return pallas_spmd.multi_sweep_block(
+            v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
+            n_iter, newton_v=aux if has_nv else None,
+            with_norm=with_norm, interpret=interp,
+        )
+
+    def _shift2(a, oy, oz):
+        """Zero-fill shift of a 2-D (y, z) plane by -offset (tap
+        value)."""
+        for ax, o in ((0, oy), (1, oz)):
+            if o:
+                pad = [(0, 0), (0, 0)]
+                sl = [slice(None), slice(None)]
+                if o > 0:
+                    pad[ax] = (0, o)
+                    sl[ax] = slice(o, o + a.shape[ax])
+                else:
+                    pad[ax] = (-o, 0)
+                    sl[ax] = slice(0, a.shape[ax])
+                a = jnp.pad(a, pad)[tuple(sl)]
+        return a
+
+    def _edge_norm_complete(l, v, f, aux, pss):
+        """Finish the fused post-smooth norm: the kernel sums interior
+        planes [1, bx-1); the two x-edge planes need the neighbours'
+        post-smoothed faces (one-plane ppermute)."""
+        bx, by_, bz_ = plan.block[l]
+        zz = zzs[l]
+        nxl, nyl, nzl = plan.dims[l]
+        m = plan.mesh_shape[0]
+        zi2 = lax.broadcasted_iota(jnp.int32, (by_, bz_), 1)
+        yi2 = lax.broadcasted_iota(jnp.int32, (by_, bz_), 0)
+
+        def cl(p2):
+            return jnp.where(zi2 < zz, p2, jnp.zeros_like(p2))
+
+        if m > 1:
+            fwd = [(i, i + 1) for i in range(m - 1)]
+            bwd = [(i + 1, i) for i in range(m - 1)]
+            glo = lax.ppermute(cl(v[bx - 1]), "x", fwd)
+            ghi = lax.ppermute(cl(v[0]), "x", bwd)
+        else:
+            glo = jnp.zeros((by_, bz_), dtype)
+            ghi = glo
+        gs = lax.axis_index("x") * bx
+        inv_h2 = 1.0 / (hs[l] * hs[l])
+        keep2 = (yi2 >= 1) & (yi2 <= nyl) & (zi2 >= 1) & (zi2 <= nzl)
+        ss = pss.astype(jnp.float32)
+        for q, xm, x0, xp in (
+            (0, glo, cl(v[0]), cl(v[1])),
+            (bx - 1, cl(v[bx - 2]), cl(v[bx - 1]), ghi),
+        ):
+            acc = None
+            for val, (ox, oy, oz) in zip(stencil.values, stencil.offsets):
+                if ox < 0:
+                    term = val * xm
+                elif ox > 0:
+                    term = val * xp
+                else:
+                    term = val * _shift2(x0, oy, oz)
+                acc = term if acc is None else acc + term
+            av = acc * inv_h2
+            if has_nv:
+                nvq = aux[q]
+                av = av + gamma * (1.0 + nvq) * x0 * jnp.exp(nvq)
+            elif has_rv:
+                av = av + gamma * x0 * jnp.exp(x0)
+            gq = gs + q
+            keep_q = keep2 & (gq >= 1) & (gq <= nxl)
+            r = jnp.where(keep_q, f[q] - av, jnp.zeros_like(x0))
+            ss = ss + jnp.sum(r.astype(jnp.float32) ** 2)
+        for name in _AXES:
+            ss = lax.psum(ss, name)
+        return ss.astype(dtype)
 
     shard_map = _shard_map
 
@@ -599,6 +709,9 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     def _smooth(l, v, f, aux, n_iter):
         """Damped Jacobi, all modes (reference :141-179; nonlinear :159-165;
         Newton :166-172 with frozen newton_v)."""
+        if _trap_ok(l, n_iter):
+            v, _ = _trap_smooth(l, v, f, aux, n_iter)
+            return v
         if l < nd and ps_levels[l]:
             b = _bounds_arr(l)
             for _ in range(n_iter):
@@ -807,6 +920,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             sset(l - 1, v=vf)
 
         # ---- replicated -> distributed prolongation ----
+        final_ss = None
         for l in range(nd, 0, -1):
             arrs_f = sget(l - 1)
             vf, ff = arrs_f[0], arrs_f[1]
@@ -839,7 +953,17 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         _coarse_zz(l), plan.dims[l - 1][2],
                         interpret=interp,
                     )
-                    vf = _smooth(l - 1, vf, ff, aux_f, post)
+                    if l - 1 == 0 and _trap_ok(0, post):
+                        # Fused post-smooth + residual norm (the final
+                        # separate norm pass is skipped entirely).
+                        vf, pss = _trap_smooth(
+                            0, vf, ff, aux_f, post, with_norm=True
+                        )
+                        final_ss = _edge_norm_complete(
+                            0, vf, ff, aux_f, pss
+                        )
+                    else:
+                        vf = _smooth(l - 1, vf, ff, aux_f, post)
                     sset(l - 1, v=vf)
                     continue
                 asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape)
@@ -849,6 +973,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             vf = _smooth(l - 1, vf, ff, aux_f, post)
             sset(l - 1, v=vf)
 
+        if final_ss is not None:
+            return tuple(state) + (jnp.sqrt(final_ss),)
         arrs0 = sget(0)
         _, ss = _residual(
             0, arrs0[0], arrs0[1], aux_of(arrs0), with_norm=True,

@@ -842,3 +842,352 @@ def prolong_add_block(
         interpret,
     )
     return call(v, casm_padded, bounds)
+
+
+# ---------------------------------------------------------------------------
+# Multi-sweep trapezoid kernel: all S smoothing sweeps of one leg in ONE
+# streaming pass over the block
+# ---------------------------------------------------------------------------
+#
+# pallas_vcycle2's wavefront ("while plane p streams in, plane p-1 of sweep
+# 1, p-2 of sweep 2, ... are computed from VMEM plane rings") adapted to an
+# x-distributed shard: each face exchanges an 8-plane x slab (v, f [, nv]),
+# and every sweep generation is also computed into the shrinking valid
+# region of the ghost zone (the classic 1-D trapezoid) so the S fused
+# sweeps produce bit-identical results to S exchange-separated sweeps.
+# This is the communication-avoiding form: one exchange per leg instead of
+# one per sweep, and v, f stream from HBM once instead of S times.
+#
+# Requires the y and z mesh axes unsplit (the wavefront would need 2-D/3-D
+# trapezoid ghosts otherwise); dist/spmd.py gates on that and falls back to
+# per-sweep kernels.  Composite plane coordinates: cp ∈ [0, bx+16) maps to
+# [x-lo ghost slab (8) | block (bx) | x-hi ghost slab (8)]; generation k is
+# valid on cp ∈ [k, bx+16-k), and only generation S planes cp ∈ [8, bx+8)
+# are written back.  With consumer='norm' the kernel also accumulates the
+# post-sweep residual Σr² over interior planes q ∈ [1, bx-1) — the two
+# x-edge planes need the neighbour's post-sweep faces, so the caller
+# completes the sum after a one-plane exchange (dist/spmd._edge_norm).
+#
+# Reference math identical to the per-op kernels (src/cpu/CpuSolver.cpp:
+# 141-179 smoother, :45-83 residual).
+
+_GH = 8  # ghost slab depth (>= S+2 for S <= 5; fixed at the DMA tile)
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_sweep_call(
+    block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
+    with_norm: bool, interpret: bool,
+):
+    stencil_values, stencil_offsets, mode, omega, gamma = key
+    taps = tuple(zip(stencil_values, stencil_offsets))
+    dtype = jnp.dtype(dtype_name)
+    bx, by, bz = block
+    inv_h2 = 1.0 / (h * h)
+    pre_fac = stencil_values[0] / (h * h)
+    alpha = (h * h) / stencil_values[0]
+    has_nv = mode == Mode.NEWTON
+    nonlin = mode == Mode.NONLINEAR
+    stream_v = not src_zero
+    NSLAB = bx // _GH + 2
+    nsteps = bx + _GH + S + (2 if with_norm else 0)
+    trig = S + 2  # in-slab prefetch offset (v2's slab-lifetime pattern)
+
+    def kernel(*refs):
+        it = iter(refs)
+        v_ref = next(it) if stream_v else None
+        f_ref = next(it)
+        nv_ref = next(it) if has_nv else None
+        vlo = next(it) if stream_v else None
+        vhi = next(it) if stream_v else None
+        flo, fhi = next(it), next(it)
+        if has_nv:
+            nvlo, nvhi = next(it), next(it)
+        else:
+            nvlo = nvhi = None
+        b_ref = next(it)
+        out_ref = next(it)
+        sum_ref = next(it) if with_norm else None
+        sv = next(it) if stream_v else None
+        sf = next(it)
+        snv = next(it) if has_nv else None
+        gens = [next(it) for _ in range(max(S - 1, 1))]
+        outst = next(it)
+        sem = next(it)
+
+        yi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 0)
+        zi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 1)
+        keep_yz = (
+            (yi >= b_ref[0, 2]) & (yi <= b_ref[0, 3])
+            & (zi >= b_ref[0, 4]) & (zi <= b_ref[0, 5])
+        )
+        zero_plane = jnp.zeros((by, zz), dtype)
+
+        def r16(q):
+            return (q + 48) % 16
+
+        def r3(q):
+            return (q + 48) % 3
+
+        def in_slabs(s, start):
+            """Composite-source slab DMA: slab 0 = lo ghost, slabs
+            1..bx/8 = the block, last slab = hi ghost.  Exactly one of the
+            three copies per (array, slot) starts; all share the slot's
+            semaphore, so the wait pairs with whichever ran."""
+            slot = (s % 2) * _GH
+            sets = [(f_ref, flo, fhi, sf, 1)]
+            if stream_v:
+                sets.append((v_ref, vlo, vhi, sv, 0))
+            if has_nv:
+                sets.append((nv_ref, nvlo, nvhi, snv, 2))
+            for ref, lo, hi, dst, si in sets:
+                if start:
+                    @pl.when(s == 0)
+                    def _(lo=lo, dst=dst, si=si):
+                        pltpu.make_async_copy(
+                            lo.at[:, :, :zz], dst.at[pl.ds(slot, _GH)],
+                            sem.at[si, (s % 2)],
+                        ).start()
+
+                    @pl.when((s >= 1) & (s < NSLAB - 1))
+                    def _(ref=ref, dst=dst, si=si):
+                        pltpu.make_async_copy(
+                            ref.at[pl.ds((s - 1) * _GH, _GH), :, :zz],
+                            dst.at[pl.ds(slot, _GH)],
+                            sem.at[si, (s % 2)],
+                        ).start()
+
+                    @pl.when(s == NSLAB - 1)
+                    def _(hi=hi, dst=dst, si=si):
+                        pltpu.make_async_copy(
+                            hi.at[:, :, :zz], dst.at[pl.ds(slot, _GH)],
+                            sem.at[si, (s % 2)],
+                        ).start()
+                else:
+                    pltpu.make_async_copy(
+                        lo.at[:, :, :zz], dst.at[pl.ds(slot, _GH)],
+                        sem.at[si, (s % 2)],
+                    ).wait()
+
+        def out_chunk(c, wait=False):
+            # Plane q lives at ring slot r16(q + 8): chunk c (planes
+            # [8c, 8c+8)) occupies slot group ((c+1) % 2) * 8.
+            cp = pltpu.make_async_copy(
+                outst.at[pl.ds(((c + 1) % 2) * _GH, _GH)],
+                out_ref.at[pl.ds(c * _GH, _GH), :, :zz],
+                sem.at[3, (c % 2)],
+            )
+            cp.wait() if wait else cp.start()
+
+        def sv_plane(cq):
+            return sv[r16(cq)]
+
+        def sf_plane(cq):
+            return sf[r16(cq)]
+
+        def snv_plane(cq):
+            return snv[r16(cq)] if has_nv else None
+
+        def stencil_sum(read_plane):
+            """A·v/h² with z-wrap masked to zero (z unsplit: the wrap
+            column is the Dirichlet halo / unstreamed dense-z column)."""
+            acc = None
+            for val, (ox, oy, oz) in taps:
+                term = read_plane(ox)
+                if oy:
+                    term = _roll(term, -oy, 0)
+                    edge = 0 if oy < 0 else by - 1
+                    term = jnp.where(yi == edge, 0.0, term).astype(dtype)
+                elif oz:
+                    term = _roll(term, -oz, 1)
+                    edge = 0 if oz < 0 else zz - 1
+                    term = jnp.where(zi == edge, 0.0, term).astype(dtype)
+                term = val * term
+                acc = term if acc is None else acc + term
+            return acc * inv_h2
+
+        def jacobi_plane(center, av, fint, nvi):
+            if mode == Mode.LINEAR:
+                return center + (omega * alpha) * (fint - av)
+            if mode == Mode.NONLINEAR:
+                ex = jnp.exp(center)
+                rr = fint - (av + gamma * center * ex)
+                denom = pre_fac + gamma * (1.0 + center) * ex
+                return center + omega * (rr / denom)
+            ex = jnp.exp(nvi)
+            lin = gamma * (1.0 + nvi) * ex
+            rr = fint - (av + lin * center)
+            return center + omega * (rr / (pre_fac + lin))
+
+        def keep_at(cq):
+            """Interior mask at composite plane cq: static y/z bounds plus
+            the GLOBAL x interior (bounds slots 6/7: shard global start and
+            nx) — ghost-zone generations must reproduce the neighbour's
+            values, whose cells are globally interior."""
+            gq = b_ref[0, 6] + (cq - _GH)
+            inx = (gq >= 1) & (gq <= b_ref[0, 7])
+            return inx & keep_yz
+
+        in_slabs(jnp.int32(0), True)
+
+        def body(p, carry):
+            s = p // _GH
+            pos = p % _GH
+
+            @pl.when((pos == 0) & (s < NSLAB))
+            def _():
+                in_slabs(s, False)
+
+            # One slab ahead (slot (s+1)%2, last used by slab s-1 whose
+            # final ring read is at step 8s+S < this start at 8s+S+2).
+            @pl.when((pos == trig) & (s + 1 < NSLAB))
+            def _():
+                in_slabs(s + 1, True)
+
+            for k in range(1, S + 1):
+                cq = p - k
+                is_last = k == S
+
+                def gen_read(k=k):
+                    if k == 1:
+                        if src_zero:
+                            return None
+                        return lambda dq, cq=cq: sv_plane(cq + dq)
+                    ring = gens[k - 2]
+                    return lambda dq, cq=cq: ring[r3(cq + dq)]
+
+                if is_last:
+                    # out staging slot for plane q=cq-8 frees only after
+                    # its chunk's DMA completes; wait two chunks back.
+                    q = cq - _GH
+
+                    @pl.when(
+                        (q >= 0) & ((q % _GH) == 0) & (q // _GH >= 2)
+                        & (q // _GH < bx // _GH)
+                    )
+                    def _():
+                        out_chunk(q // _GH - 2, wait=True)
+
+                @pl.when((cq >= k) & (cq < bx + 2 * _GH - k))
+                def _(k=k, cq=cq, is_last=is_last):
+                    fint = sf_plane(cq)
+                    nvi = snv_plane(cq)
+                    if k == 1 and src_zero:
+                        if mode == Mode.LINEAR:
+                            val = (omega * alpha) * fint
+                        else:
+                            lin = gamma * (1.0 + nvi) * jnp.exp(nvi)
+                            val = omega * (fint / (pre_fac + lin))
+                    else:
+                        rp = gen_read()
+                        av = stencil_sum(rp)
+                        val = jacobi_plane(rp(0), av, fint, nvi)
+                    val = jnp.where(keep_at(cq), val, zero_plane)
+                    if is_last:
+                        outst[r16(cq)] = val
+                    else:
+                        gens[k - 1][r3(cq)] = val
+
+                if is_last:
+                    q = cq - _GH
+
+                    @pl.when((q >= 0) & ((q % _GH) == _GH - 1) & (q < bx))
+                    def _(q=q):
+                        out_chunk(q // _GH)
+
+            if with_norm:
+                # Post-sweep residual norm over interior planes q in
+                # [1, bx-1); the caller adds the two x-edge planes.
+                cq = p - S - 1
+                q = cq - _GH
+                total, comp = carry
+                cond = (q >= 1) & (q < bx - 1)
+                av = stencil_sum(lambda dq: outst[r16(cq + dq)])
+                center = outst[r16(cq)]
+                if has_nv:
+                    nvi = snv_plane(cq)
+                    av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
+                elif nonlin:
+                    av = av + gamma * center * jnp.exp(center)
+                rr = jnp.where(
+                    keep_at(cq) & cond, sf_plane(cq) - av, zero_plane
+                )
+                part = jnp.sum(rr.astype(jnp.float32) ** 2)
+                y = part - comp
+                tt = total + y
+                comp = (tt - total) - y
+                carry = (tt, comp)
+            return carry
+
+        carry = jax.lax.fori_loop(
+            0, nsteps, body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+
+        for back in (2, 1):
+            if bx // _GH - back >= 0:
+                out_chunk(jnp.int32(bx // _GH - back), wait=True)
+        if with_norm:
+            sum_ref[0, 0] = carry[0]
+
+    n_in = (1 if stream_v else 0) + 1 + (1 if has_nv else 0)
+    n_in += (2 if stream_v else 0) + 2 + (2 if has_nv else 0)
+    scratch = []
+    if stream_v:
+        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # sv
+    scratch.append(pltpu.VMEM((16, by, zz), dtype))      # sf
+    if has_nv:
+        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # snv
+    for _ in range(max(S - 1, 1)):
+        scratch.append(pltpu.VMEM((3, by, zz), dtype))   # gen rings
+    scratch.append(pltpu.VMEM((16, by, zz), dtype))      # out staging
+    scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # bounds
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    out_shapes = [jax.ShapeDtypeStruct(block, dtype)]
+    if with_norm:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+
+
+def multi_sweep_block(
+    v, f, xslabs, bounds, params: GridParams, h: float, zz: int,
+    n_iter: int, newton_v=None, src_zero: bool = False,
+    with_norm: bool = False, interpret: bool = False,
+):
+    """All ``n_iter`` damped-Jacobi sweeps of one leg in a single streaming
+    pass (communication-avoiding: the caller exchanges the 8-plane x-face
+    slabs in ``xslabs`` once per leg).  ``xslabs`` is
+    (vlo, vhi, flo, fhi[, nvlo, nvhi]); with ``src_zero`` v is neither
+    streamed nor exchanged (down-leg coarse start from v=0).  Returns
+    ``(v_new, partial_sumsq | None)``."""
+    call = _multi_sweep_call(
+        (v.shape if not src_zero else f.shape), zz, f.dtype.name,
+        _compile_key(params), h, n_iter, src_zero, with_norm, interpret,
+    )
+    args = []
+    if not src_zero:
+        args.append(v)
+    args.append(f)
+    if params.mode == Mode.NEWTON:
+        args.append(newton_v)
+    args.extend(xslabs)
+    args.append(bounds)
+    outs = call(*args)
+    if with_norm:
+        return outs[0], outs[1][0, 0]
+    return outs[0], None

@@ -66,12 +66,16 @@ def test_zsplit_mesh_falls_back():
     assert not pallas_spmd.level_supported((24, 24, 128), 127, 2)
 
 
+@pytest.mark.parametrize("mesh_shape", [MESH_SHAPE, (2, 1, 1)])
 @pytest.mark.parametrize(
     "mode,gamma", [(Mode.LINEAR, 1.0), (Mode.NONLINEAR, 30.0)]
 )
-def test_solve_history_matches_xla_backend(mode, gamma):
+def test_solve_history_matches_xla_backend(mode, gamma, mesh_shape):
+    # (2, 2, 1): per-sweep kernels with y ghost faces.  (2, 1, 1): the
+    # communication-avoiding trapezoid path (multi_sweep_block) plus the
+    # fused residual+restrict / prolong+add kernels.
     params = _params(mode, gamma)
-    mesh = make_mesh(MESH_SHAPE)
+    mesh = make_mesh(mesh_shape)
     _, hist_x, _ = solve_spmd(params, mesh, cutoff=2, local_backend="xla")
     st, hist_p, plan = solve_spmd(
         params, mesh, cutoff=2, local_backend="pallas"
@@ -88,9 +92,10 @@ def test_solve_history_matches_xla_backend(mode, gamma):
     assert np.abs(sol).max() > 0.0
 
 
-def test_newton_history_matches_xla_backend():
+@pytest.mark.parametrize("mesh_shape", [MESH_SHAPE, (2, 1, 1)])
+def test_newton_history_matches_xla_backend(mesh_shape):
     params = _params(Mode.NEWTON, 30.0)
-    mesh = make_mesh(MESH_SHAPE)
+    mesh = make_mesh(mesh_shape)
     _, hist_x, _ = newton_solve_spmd(
         params, mesh, cutoff=2, local_backend="xla"
     )
