@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--weak", action="store_true",
                     help="scale global grid with the mesh (weak scaling)")
     ap.add_argument("--cycles", type=int, default=10)
+    ap.add_argument("--check-every", type=int, default=0,
+                    help="cycles per dispatch (default: all in one batch)")
     ap.add_argument("--mode", type=int, default=0)
     ap.add_argument("--cutoff", type=int, default=4,
                     help="per-shard extent below which levels replicate")
@@ -113,10 +115,16 @@ def main() -> None:
     warm = params.replace(maxiter=1)
     state, _, plan = solve_spmd(warm, mesh, cutoff=args.cutoff)
 
+    ck = args.check_every or args.cycles
+    if ck > 1:  # pre-compile the batched dispatch outside the timed region
+        solve_spmd(
+            params.replace(maxiter=ck), mesh, cutoff=args.cutoff,
+            state=state, plan=plan, initial_residual=1.0, check_every=ck,
+        )
     t0 = time.perf_counter()
     _, history, _ = solve_spmd(
         params, mesh, cutoff=args.cutoff, state=state, plan=plan,
-        initial_residual=1.0,
+        initial_residual=1.0, check_every=ck,
     )
     dt = time.perf_counter() - t0
     per_cycle = dt / args.cycles
@@ -137,6 +145,7 @@ def main() -> None:
         "total_gnnz_per_s": round(nnz / per_cycle / 1e9, 3),
         "mode": Mode(args.mode).name,
         "cycles": args.cycles,
+        "check_every": ck,
         "final_residual": history[-1] if history else None,
         "backend": jax.default_backend(),
         "peak_hbm_gbps_per_chip": peak,
