@@ -17,7 +17,8 @@ wavefront trails the read front, so v needs no ping-pong buffer.
 
 Dense-z streaming: the z (lane) axis streams only ``round_up(nz+1, 128)``
 columns of the tile-aligned allocation — for 2^k−1 grids that is *dense* (the
-missing z=nz+1 halo column is synthesised by masking the +z stencil tap),
+missing z=nz+1 halo column needs no synthesis: the +z tap's roll wraps in the
+z=0 halo column, which is exactly the halo's correct zero value),
 eliminating the alignment-padding traffic round-1's VERDICT flagged.
 
 Multi-cycle: the kernel runs up to ``maxk`` cycles per launch with an
@@ -212,19 +213,21 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
             return (yi >= 1) & (yi <= ny) & (zi >= 1) & (zi <= nz)
 
-        def stencil_sum(l, read_plane):
-            """A·v/h² for a plane: ``read_plane(dq) -> (yl, zl)`` returns the
-            neighbour plane at x-offset dq.  Taps sharing a coefficient are
-            summed before the multiply.  When the level's z=nz+1 halo column
-            is not streamed (dense z), the +z tap's wrapped column is
-            masked to the halo value (zero)."""
-            nz = dims[l][2]
-            zl = zls[l]
-            mask_zp = zl == nz + 1
+        def stencil_acc(l, read_plane, init=None, sign=1.0):
+            """``init + sign·A·v/h²`` for a plane: ``read_plane(dq) ->
+            (yl, zl)`` returns the neighbour plane at x-offset dq.  Taps
+            sharing a coefficient are summed before the multiply, and the
+            coefficient multiply accumulates onto ``init`` (FMA form).  No
+            wrap masking is needed: rolled-in wrap rows/columns land either
+            in halo/pad positions (masked by ``keep`` on every write) or
+            carry the opposite halo/pad value, which the zero-halo invariant
+            keeps at 0 — in particular the dense-z layout's missing z=nz+1
+            halo column wraps to the z=0 halo column, which is also its
+            correct (zero) value."""
             groups = {}
             for val, off in taps:
                 groups.setdefault(val * inv_h2[l], []).append(off)
-            s = None
+            s = init
             for coeff, offs in groups.items():
                 g = None
                 for (ox, oy, oz) in offs:
@@ -233,31 +236,25 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                         term = _roll(term, -oy, 0)
                     if oz:
                         term = _roll(term, -oz, 1)
-                        if oz > 0 and mask_zp:
-                            zi = jax.lax.broadcasted_iota(
-                                jnp.int32, term.shape, 1
-                            )
-                            term = jnp.where(zi >= nz, 0.0, term).astype(
-                                term.dtype
-                            )
                     g = term if g is None else g + term
-                term = coeff * g
+                term = (sign * coeff) * g
                 s = term if s is None else s + term
             return s
 
-        def jacobi_plane(l, center, av, fint, nvi):
-            """One damped-Jacobi plane update (reference :141-179; nonlinear
-            :159-165 tutorial formula 6.14; Newton :166-172)."""
+        def jacobi_plane(l, center, rr_lin, nvi):
+            """One damped-Jacobi plane update from the *linear* residual
+            ``rr_lin = f - A·v/h²`` (reference :141-179; nonlinear :159-165
+            tutorial formula 6.14; Newton :166-172)."""
             if mode == Mode.LINEAR:
-                return center + (omega * alpha[l]) * (fint - av)
+                return center + (omega * alpha[l]) * rr_lin
             if mode == Mode.NONLINEAR:
                 ex = jnp.exp(center)
-                rr = fint - (av + gamma * center * ex)
+                rr = rr_lin - gamma * center * ex
                 denom = pre_fac[l] + gamma * (1.0 + center) * ex
                 return center + omega * (rr / denom)
             ex = jnp.exp(nvi)
             lin = gamma * (1.0 + nvi) * ex
-            rr = fint - (av + lin * center)
+            rr = rr_lin - lin * center
             return center + omega * (rr / (pre_fac[l] + lin))
 
         def jacobi_zero_plane(l, fint, nvi):
@@ -269,13 +266,14 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             lin = gamma * (1.0 + nvi) * jnp.exp(nvi)
             return omega * (fint / (pre_fac[l] + lin))
 
-        def residual_plane(l, av, center, fint, nvi):
-            """r = f - (A v + mode term) (reference :45-83)."""
+        def residual_plane(l, rr_lin, center, nvi):
+            """r = (f - A v) - mode term, from the accumulated linear part
+            (reference :45-83)."""
             if has_nv:
-                av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
-            elif has_rv:
-                av = av + gamma * center * jnp.exp(center)
-            return fint - av
+                return rr_lin - gamma * (1.0 + nvi) * center * jnp.exp(nvi)
+            if has_rv:
+                return rr_lin - gamma * center * jnp.exp(center)
+            return rr_lin
 
         def restrict_yz(plane, wy, wz, ckeep, czero, valid):
             tmp = jnp.dot(
@@ -543,8 +541,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                             val = jacobi_zero_plane(l, fint, nvi)
                         else:
                             rp = gen_read(k, q)
-                            av = stencil_sum(l, rp)
-                            val = jacobi_plane(l, rp(0), av, fint, nvi)
+                            rr_lin = stencil_acc(
+                                l, rp, init=fint, sign=-1.0
+                            )
+                            val = jacobi_plane(l, rp(0), rr_lin, nvi)
                         val = jnp.where(keep, val, zero_plane)
                         if is_last:
                             outst[r16(q - 1), :yl, :zl] = val
@@ -576,11 +576,12 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     q = p - S - 1
                     total, comp = carry
                     cond = (q >= 1) & (q <= nx)
-                    av = stencil_sum(l, lambda dq: out_plane(q + dq))
-                    nvi = snv_plane(q) if has_nv else None
-                    rr = residual_plane(
-                        l, av, out_plane(q), sf_plane(q), nvi
+                    rr_lin = stencil_acc(
+                        l, lambda dq: out_plane(q + dq),
+                        init=sf_plane(q), sign=-1.0,
                     )
+                    nvi = snv_plane(q) if has_nv else None
+                    rr = residual_plane(l, rr_lin, out_plane(q), nvi)
                     rr = jnp.where(keep & cond, rr, zero_plane)
                     part = jnp.sum(rr.astype(jnp.float32) ** 2)
                     # Kahan-compensated plane-sum chain (SURVEY §7's
@@ -594,13 +595,12 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
 
                     @pl.when((q >= 1) & (q <= nx))
                     def _():
-                        av = stencil_sum(
-                            l, lambda dq: out_plane(q + dq)
+                        rr_lin = stencil_acc(
+                            l, lambda dq: out_plane(q + dq),
+                            init=sf_plane(q), sign=-1.0,
                         )
                         nvi = snv_plane(q) if has_nv else None
-                        rr = residual_plane(
-                            l, av, out_plane(q), sf_plane(q), nvi
-                        )
+                        rr = residual_plane(l, rr_lin, out_plane(q), nvi)
                         rres[r3(q), :yl, :zl] = jnp.where(
                             keep, rr, zero_plane
                         )
@@ -795,8 +795,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     )
                 cur.append(zero_plane)
 
-            def st_sum(planes, j):
-                return stencil_sum(l, lambda dq: planes[j + dq])
+            def st_rr(planes, j):
+                # f - A·v/h² at plane j (FMA-accumulated)
+                return stencil_acc(
+                    l, lambda dq: planes[j + dq], init=fpl(j), sign=-1.0
+                )
 
             for k in range(1, S + 1):
                 nxt = [zero_plane]
@@ -804,8 +807,8 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     if k == 1 and src == "zero":
                         val = jacobi_zero_plane(l, fpl(j), nvpl(j))
                     else:
-                        av = st_sum(cur, j)
-                        val = jacobi_plane(l, cur[j], av, fpl(j), nvpl(j))
+                        rr_lin = st_rr(cur, j)
+                        val = jacobi_plane(l, cur[j], rr_lin, nvpl(j))
                     nxt.append(jnp.where(keep, val, zero_plane))
                 nxt.append(zero_plane)
                 cur = nxt
@@ -838,8 +841,8 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 czero = jnp.zeros((cyl, czl), dtype)
                 rpl = [zero_plane]
                 for j in range(1, nx + 1):
-                    av = st_sum(cur, j)
-                    rr = residual_plane(l, av, cur[j], fpl(j), nvpl(j))
+                    rr_lin = st_rr(cur, j)
+                    rr = residual_plane(l, rr_lin, cur[j], nvpl(j))
                     rpl.append(jnp.where(keep, rr, zero_plane))
                 rpl.append(zero_plane)
 
@@ -873,8 +876,8 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 total = jnp.float32(0.0)
                 comp = jnp.float32(0.0)
                 for j in range(1, nx + 1):
-                    av = st_sum(cur, j)
-                    rr = residual_plane(l, av, cur[j], fpl(j), nvpl(j))
+                    rr_lin = st_rr(cur, j)
+                    rr = residual_plane(l, rr_lin, cur[j], nvpl(j))
                     rr = jnp.where(keep, rr, zero_plane)
                     part = jnp.sum(rr.astype(jnp.float32) ** 2)
                     y = part - comp
@@ -919,11 +922,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     cp.wait()
                 rv = [tv[j, :yl, :zl] for j in range(nx + 2)]
                 for j in range(1, nx + 1):
-                    av = stencil_sum(lc, lambda dq, j=j: rv[j + dq])
-                    val = (
-                        tf[j, :yl, :zl] + av
-                        + gamma * rv[j] * jnp.exp(rv[j])
-                    )
+                    val = stencil_acc(
+                        lc, lambda dq, j=j: rv[j + dq],
+                        init=tf[j, :yl, :zl],
+                    ) + gamma * rv[j] * jnp.exp(rv[j])
                     tf[j, :yl, :zl] = jnp.where(keep, val, zero_plane)
                 cp = pltpu.make_async_copy(
                     tf.at[pl.ds(0, ax), :yl, :zl],
@@ -987,12 +989,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     def rd(dq):
                         return sv[r16(q + dq), :yl, :zl]
 
-                    av = stencil_sum(lc, rd)
                     rvq = rd(0)
-                    val = (
-                        sf[r16(q), :yl, :zl]
-                        + av + gamma * rvq * jnp.exp(rvq)
-                    )
+                    val = stencil_acc(
+                        lc, rd, init=sf[r16(q), :yl, :zl]
+                    ) + gamma * rvq * jnp.exp(rvq)
                     outst[r16(q - 1), :yl, :zl] = jnp.where(
                         keep, val, zero_plane
                     )
