@@ -93,11 +93,13 @@ def vcycle_cost_model(params, itemsize: int):
 
 def wavefront_traffic_model(params, itemsize: int):
     """Physically-streamed HBM bytes per V-cycle of the wavefront mega-kernel
-    (ops/pallas_vcycle2): one down pass per level reads v,f and writes v once
-    plus the coarse RHS; one up pass reads the coarse correction and v,f and
-    writes v.  Lane (z) traffic is the dense ``z_live`` extent; levels with a
-    tiny x extent stay VMEM-resident between passes (counted once per leg).
+    (ops/pallas_vcycle2) under the LINEAR/NEWTON recompute schedule: the down
+    pass reads f (plus v at the finest level) and writes only the coarse RHS
+    — v's pre-smoothed state is re-derived by the up pass, which reads f
+    (plus v at the finest level) and the coarse correction and writes v.
+    Lane (z) traffic is the dense ``z_live`` extent.
     """
+    from gpusolve_tpu.config import Mode
     from gpusolve_tpu.grid import alloc_shape
     from gpusolve_tpu.ops import pallas_vcycle2 as pv2
 
@@ -107,14 +109,28 @@ def wavefront_traffic_model(params, itemsize: int):
     for d in dims:
         ax, ay, az = alloc_shape(d)
         vol.append(ax * ay * pv2.z_live(d, (ax, ay, az)) * itemsize)
+    nv = 1 if params.mode == Mode.NEWTON else 0  # newton_v streams per pass
     bytes_ = 0
     for l in range(nlev):
-        down_out = vol[l + 1] if l + 1 < nlev else 0
+        rec = (
+            params.mode != Mode.NONLINEAR
+            and pv2._RECOMPUTE_FROM_LEVEL is not None
+            and l >= pv2._RECOMPUTE_FROM_LEVEL
+        )
+        v_in = vol[l] if (l == 0 or params.mode == Mode.NONLINEAR) else 0
         if l == nlev - 1:
-            bytes_ += 3 * vol[l]  # single fused coarsest pass
+            # coarsest: read f (+nv) (+v unless zero start), write v
+            bytes_ += (1 + nv) * vol[l] + v_in + vol[l]
+        elif rec:
+            # recompute schedule: down reads f (+v at l=0, +nv), writes
+            # coarse f; up re-reads the same and the coarse v, writes v
+            bytes_ += (1 + nv) * vol[l] + v_in + vol[l + 1]
+            bytes_ += (1 + nv) * vol[l] + v_in + vol[l + 1] + vol[l]
         else:
-            bytes_ += 3 * vol[l] + down_out  # down: read v,f write v + f2h
-            bytes_ += 3 * vol[l] + vol[l + 1]  # up: read v,f,coarse write v
+            # write-back schedule: down reads v,f (+nv), writes v +
+            # coarse f; up reads v,f (+nv) + coarse v, writes v
+            bytes_ += (2 + nv) * vol[l] + vol[l] + vol[l + 1]
+            bytes_ += (2 + nv) * vol[l] + vol[l + 1] + vol[l]
     return bytes_
 
 

@@ -47,8 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 from gpusolve_tpu.config import GridParams, Mode
 from gpusolve_tpu.grid import alloc_shape
 
-_VMEM_LIMIT = 122 * 1024 * 1024
+_VMEM_LIMIT = 126 * 1024 * 1024
 _DEBUG_MAX_PASSES = None  # debugging aid: truncate the cycle after N passes
+# Down legs at levels >= this skip the v write-back and the up leg
+# recomputes the pre-sweeps (see the schedule note in one_cycle).  None
+# disables (write-back everywhere — fastest on v5e, see measurements).
+_RECOMPUTE_FROM_LEVEL = None
 _TX = 8          # stream slab granularity (sublane tile) — planes per DMA
 _TINY_AX = 16    # levels with alloc x-extent <= this run fully VMEM-resident
 
@@ -103,6 +107,60 @@ def _prolong_matrix(cp_, fp, fn, dtype):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
+def _plan_scratch(dims, shapes, zls, mode, pre: int, post: int, itemsize):
+    """Mirror of the kernel's VMEM scratch plan: list of element counts.
+    Used both to allocate and (in ``supported``) to budget-check."""
+    nlev = len(dims)
+    has_nv = mode == Mode.NEWTON
+    has_rv = mode == Mode.NONLINEAR
+    y0, zl0 = shapes[0][1], zls[0]
+    first_stream = next(
+        (l for l in range(nlev) if shapes[l][0] > _TINY_AX), None
+    )
+    first_tiny = next(
+        (l for l in range(nlev) if shapes[l][0] <= _TINY_AX), None
+    )
+    if first_stream is not None and first_stream + 1 < nlev:
+        yc0, zlc0 = shapes[first_stream + 1][1], zls[first_stream + 1]
+    else:
+        yc0, zlc0 = 8, 128
+    if first_tiny is not None:
+        yt0, zlt0 = shapes[first_tiny][1], zls[first_tiny]
+    else:
+        yt0, zlt0 = 8, 128
+    n_gen = max(pre + post, 1)
+    plan = [
+        (16, y0, zl0),  # sv
+        (24, y0, zl0),  # sf (3-slot ring: read up to lag len(chain)+1)
+        (16, y0, zl0),  # outst
+    ]
+    if has_nv:
+        plan.append((24, y0, zl0))  # snv (read at every stage, like f)
+    plan.extend([(3, y0, zl0)] * n_gen)  # generation rings
+    plan.append((3, y0, zl0))  # rres
+    plan.append((16, yc0, zlc0))  # sc
+    plan.append((16, yc0, zlc0))  # cst
+    if has_rv:
+        plan.append((16, yc0, zlc0))  # sc2
+        plan.append((16, yc0, zlc0))  # cst2
+    plan.extend([(_TINY_AX, yt0, zlt0)] * 3)  # tv, tf, tc
+    if has_nv or has_rv:
+        plan.append((_TINY_AX, yt0, zlt0))  # tnv
+    return plan
+
+
+def _scratch_bytes(params: GridParams) -> int:
+    dims = params.level_dims()
+    shapes = [alloc_shape(d) for d in dims]
+    zls = [z_live(dims[l], shapes[l]) for l in range(len(dims))]
+    itemsize = 4
+    plan = _plan_scratch(
+        dims, shapes, zls, params.mode,
+        params.pre_smoothing, params.post_smoothing, itemsize,
+    )
+    return sum(a * b * c for (a, b, c) in plan) * itemsize
+
+
 def supported(params: GridParams) -> bool:
     if params.mode not in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR):
         return False
@@ -122,6 +180,10 @@ def supported(params: GridParams) -> bool:
         # exactly when nx % 8 is 7 or 0 (all 2^k-1 and 3*2^k grids).
         if shape[0] > _TINY_AX and d[0] % 8 not in (0, 7):
             return False
+    # Leave headroom under the Mosaic VMEM budget for the compiler's own
+    # temporaries (matmul staging etc.).
+    if _scratch_bytes(params) > _VMEM_LIMIT - 8 * 1024 * 1024:
+        return False
     return True
 
 
@@ -168,9 +230,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     else:
         yt0, zlt0 = 8, 128
 
-    # Intermediate generation rings: a down pass holds pre-1 intermediate
-    # sweeps, an up pass holds gen0' (the prolongation result) + post-1.
-    n_gen = max(pre - 1, post, 1)
+    # Intermediate generation rings: the longest stage chain is the
+    # recompute up leg (pre sweeps + prolong-correction + post sweeps); its
+    # last stage lands in the out staging ring, leaving pre+post rings.
+    n_gen = max(pre + post, 1)
 
     def kernel(*refs):
         thr_ref = refs[nlev * n_arr]
@@ -179,10 +242,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         norms_ref = refs[2 * nlev * n_arr + 2]
         scratch = list(refs[2 * nlev * n_arr + 3 :])
 
-        sv = scratch.pop(0)      # (16, y0, zl0) v stream ring
-        sf = scratch.pop(0)      # (16, y0, zl0) f stream ring
+        sv = scratch.pop(0)      # (16, y0, zl0) v stream ring (2 slots)
+        sf = scratch.pop(0)      # (24, y0, zl0) f stream ring (3 slots)
         outst = scratch.pop(0)   # (16, y0, zl0) out staging ring
-        snv = scratch.pop(0) if has_nv else None
+        snv = scratch.pop(0) if has_nv else None  # (24,...) like sf
         gens = [scratch.pop(0) for _ in range(n_gen)]  # (3, y0, zl0) each
         rres = scratch.pop(0)    # (3, y0, zl0) residual ring
         sc = scratch.pop(0)      # (16, yc0, zlc0) coarse stream (prolong)
@@ -204,6 +267,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             # ring-of-16 index, safe for q >= -32 (lax.rem keeps the
             # dividend's sign, so bias before reducing)
             return ((q + 32) % 16)
+
+        def r24(q):
+            # ring-of-24 index (3 slabs of 8): plane q of slab s=q//8 sits
+            # at (s%3)*8 + q%8 == q % 24
+            return ((q + 48) % 24)
 
         def r3(q):
             return ((q + 33) % 3)
@@ -301,39 +369,58 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         # ------------------------------------------------------------------
         # Streamed wavefront pass.
         # ------------------------------------------------------------------
-        def stream_pass(l, src, n_sweeps, consumer):
+        def stream_pass(l, src, chain, consumer, write_v=True):
             """One fused leg over level ``l``.
 
-            src: 'hbm' (stream v), 'zero' (v=0 start, v not read),
-                 'prolong' (v + interpolated coarse correction, level l+1).
+            src: 'hbm' (stream v as the lag-0 source) | 'zero' (v=0 start,
+                 v not read).
+            chain: tuple of stage kinds ('sweep' | 'corr', at most one
+                 'corr'), executed at lags 1..len(chain).  Stage k reads
+                 stage k-1's plane ring (the lag-0 source for k=1); the
+                 last stage lands in the out staging ring.  'corr' adds the
+                 interpolated level-l+1 correction (reference :240-290
+                 fused with v+=e :130-132; FAS coarse operand v - restV
+                 :121-125).
             consumer: None | 'restrict' (residual -> coarse f; FAS also
                  restricts v into coarse v/rest_v) | 'norm' (Kahan residual
-                 sum-of-squares, returned).
+                 sum-of-squares, returned).  Reads the out staging ring at
+                 lag len(chain)+1.
+            write_v: False skips the v write-back DMAs entirely — the
+                 recompute schedule's down legs, whose pre-smoothed v the
+                 up leg re-derives bit-identically from the untouched v/f
+                 inputs, trading hidden recompute for a full volume of HBM
+                 write+read traffic.
             """
             nx, ny, nz = dims[l]
             yl = shapes[l][1]
             zl = zls[l]
-            S = n_sweeps
+            L = len(chain)
+            ci = (chain.index("corr") + 1) if "corr" in chain else None
             if consumer == "restrict":
-                lag_max = S + 3  # residual lag S+1, +2 to finish the last
+                lag_max = L + 3  # residual lag L+1, +2 to finish the last
                 #                  coarse chunk (m reaches cnx+1)
             elif consumer == "norm":
-                lag_max = S + 1
+                lag_max = L + 1
             else:
-                lag_max = S
+                lag_max = L
             nsteps = nx + 2 + lag_max
             NSL = _cdiv(nx + 2, _TX)
             # Out chunks cover interior planes j = 1..NC*8; NC*8 <= nx+1
             # always (never past the x halo), and the trailing wavefront
             # steps reach q = NC*8 so every chunk's DMA start fires.
             NC = _cdiv(nx, _TX)
-            trig = S + 2  # in-slab prefetch step offset (slab lifetime)
+            # f (and newton_v) stream through 3-slot rings because their
+            # planes are read up to lag_max steps behind the front: slab
+            # s+1 overwrites slab s-2, whose last f read happens at in-slab
+            # step lag_max-9, so the prefetch trigger must come after that
+            # (v lives in a 2-slot ring — read only at lag <= 2).
+            trig = max(2, lag_max - 7)
             vref = buf(l, 0)
             fref = buf(l, 1)
             nvref = buf(l, 2) if has_nv else None
             keep = keep_mask((yl, zl), ny, nz)
             zero_plane = jnp.zeros((yl, zl), dtype)
-            stream_v = src in ("hbm", "prolong")
+            stream_v = src == "hbm"
 
             if consumer == "restrict":
                 lc = l + 1
@@ -346,7 +433,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 ckeep = keep_mask((cyl, czl), cny, cnz)
                 czero = jnp.zeros((cyl, czl), dtype)
                 c_tiny = tiny[lc]
-            if src == "prolong":
+            if ci is not None:
                 lcp = l + 1
                 pcnx = dims[lcp][0]
                 pcyl = shapes[lcp][1]
@@ -357,19 +444,19 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 cvref = buf(lcp, 0)
                 rvref = buf(lcp, 2) if has_rv else None
 
-            def in_cp(ref, dst, s, si, yy=yl, zz=zl):
+            def in_cp(ref, dst, s, si, yy=yl, zz=zl, nslot=2):
                 return pltpu.make_async_copy(
                     ref.at[pl.ds(s * _TX, _TX), :, :zz],
-                    dst.at[pl.ds((s % 2) * _TX, _TX), :yy, :zz],
-                    sem.at[si, (s % 2)],
+                    dst.at[pl.ds((s % nslot) * _TX, _TX), :yy, :zz],
+                    sem.at[si, (s % nslot)],
                 )
 
             def in_slabs(s, start):
-                cps = [in_cp(fref, sf, s, 1)]
+                cps = [in_cp(fref, sf, s, 1, nslot=3)]
                 if stream_v:
                     cps.append(in_cp(vref, sv, s, 0))
                 if has_nv:
-                    cps.append(in_cp(nvref, snv, s, 2))
+                    cps.append(in_cp(nvref, snv, s, 2, nslot=3))
                 for cp in cps:
                     cp.start() if start else cp.wait()
 
@@ -424,10 +511,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 return sv[r16(q), :yl, :zl]
 
             def sf_plane(q):
-                return sf[r16(q), :yl, :zl]
+                return sf[r24(q), :yl, :zl]
 
             def snv_plane(q):
-                return snv[r16(q), :yl, :zl]
+                return snv[r24(q), :yl, :zl]
 
             def out_plane(q):
                 return outst[r16(q - 1), :yl, :zl]
@@ -440,7 +527,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 # j=0 read.
                 outst[15, :yl, :zl] = jnp.zeros((yl, zl), dtype)
             in_slabs(jnp.int32(0), True)
-            if src == "prolong":
+            if ci is not None:
                 coarse_slabs(jnp.int32(0), True)
                 coarse_slabs(jnp.int32(0), False)
                 if NSC > 1:
@@ -458,67 +545,43 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 def _():
                     in_slabs(s + 1, True)
 
-                if src == "prolong":
+                if ci is not None:
+                    # Coarse-stream pacing follows the corr stage's plane
+                    # index pc = p - ci (the conditions below are the lag-0
+                    # originals with p -> pc; negative pc early steps are
+                    # excluded by the >= guards under floor div/mod).
+                    pc = p - ci
+
                     @pl.when(
-                        (((p + 2) % 16) == 0)
-                        & ((p + 2) // 16 >= 1)
-                        & ((p + 2) // 16 < NSC)
+                        (((pc + 2) % 16) == 0)
+                        & ((pc + 2) // 16 >= 1)
+                        & ((pc + 2) // 16 < NSC)
                     )
                     def _():
-                        coarse_slabs((p + 2) // 16, False)
+                        coarse_slabs((pc + 2) // 16, False)
 
-                    # Start coarse slab c = p//16 + 1 once its slot's
+                    # Start coarse slab c = pc//16 + 1 once its slot's
                     # previous occupant (slab c-2) is dead (last read at
-                    # p = 16(c-1)-1); slabs 0 and 1 load in the prologue.
+                    # pc = 16(c-1)-1); slabs 0 and 1 load in the prologue.
                     @pl.when(
-                        ((p % 16) == 4) & (p // 16 >= 1)
-                        & (p // 16 + 1 < NSC)
+                        ((pc % 16) == 4) & (pc // 16 >= 1)
+                        & (pc // 16 + 1 < NSC)
                     )
                     def _():
-                        coarse_slabs(p // 16 + 1, True)
+                        coarse_slabs(pc // 16 + 1, True)
 
-                    # gen0': v[p] + interpolated correction (reference
-                    # :240-290 fused with v+=e :130-132; FAS coarse operand
-                    # v - restV :121-125).
-                    @pl.when((p >= 1) & (p <= nx))
-                    def _():
-                        q = p
-                        a = r16(q // 2)
-                        b = r16((q + 1) // 2)
-                        ca = sc[a, :pcyl, :pczl]
-                        cb = sc[b, :pcyl, :pczl]
-                        if has_rv:
-                            ca = ca - sc2[a, :pcyl, :pczl]
-                            cb = cb - sc2[b, :pcyl, :pczl]
-                        # Both-parity form (padded global index q):
-                        # even -> inject C[q/2] (a == b), odd ->
-                        # (C[(q-1)/2] + C[(q+1)/2]) / 2.
-                        e_q = prolong_yz(0.5 * (ca + cb), py, pz)
-                        gens[0][r3(q), :yl, :zl] = jnp.where(
-                            keep, sv_plane(q) + e_q, zero_plane
-                        )
-
-                    @pl.when((p == 0) | (p == nx + 1))
-                    def _():
-                        gens[0][r3(p), :yl, :zl] = zero_plane
-
-                # --- smoothing generations -------------------------------
-                goff = 1 if src == "prolong" else 0
-
-                def gen_read(k, q):
-                    # plane reader for generation k's input (gen k-1)
-                    if k == 1 and src == "hbm":
-                        return lambda dq: sv_plane(q + dq)
-                    if k == 1 and src == "prolong":
-                        return lambda dq: gens[0][r3(q + dq), :yl, :zl]
-                    ring = gens[k - 2 + goff]
-                    return lambda dq: ring[r3(q + dq), :yl, :zl]
-
-                for k in range(1, S + 1):
-                    q = p - k
-                    is_last = k == S
-
+                def stage_store(k, q, val, is_last):
                     if is_last:
+                        outst[r16(q - 1), :yl, :zl] = val
+                    else:
+                        gens[k - 1][r3(q), :yl, :zl] = val
+
+                # --- stage chain ------------------------------------------
+                for k, kind in enumerate(chain, start=1):
+                    q = p - k
+                    is_last = k == L
+
+                    if is_last and write_v:
                         # Wait for the chunk DMA two chunks back before its
                         # staging slot is overwritten.  The `< NC` bound
                         # keeps trailing wavefront steps (q past the last
@@ -533,47 +596,87 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                         def _():
                             out_chunk((q - 1) // _TX - 2, wait=True)
 
-                    @pl.when((q >= 1) & (q <= nx))
-                    def _(k=k, q=q, is_last=is_last):
-                        fint = sf_plane(q)
-                        nvi = snv_plane(q) if has_nv else None
-                        if k == 1 and src == "zero":
-                            val = jacobi_zero_plane(l, fint, nvi)
-                        else:
-                            rp = gen_read(k, q)
-                            rr_lin = stencil_acc(
-                                l, rp, init=fint, sign=-1.0
+                    if kind == "corr":
+                        # Interpolated coarse correction added onto the
+                        # previous stage's plane (reference :240-290 fused
+                        # with v+=e :130-132).  Both-parity form (padded
+                        # global index q): even -> inject C[q/2] (a == b),
+                        # odd -> (C[(q-1)/2] + C[(q+1)/2]) / 2.
+                        @pl.when((q >= 1) & (q <= nx))
+                        def _(k=k, q=q, is_last=is_last):
+                            a = r16(q // 2)
+                            b = r16((q + 1) // 2)
+                            ca = sc[a, :pcyl, :pczl]
+                            cb = sc[b, :pcyl, :pczl]
+                            if has_rv:
+                                ca = ca - sc2[a, :pcyl, :pczl]
+                                cb = cb - sc2[b, :pcyl, :pczl]
+                            e_q = prolong_yz(0.5 * (ca + cb), py, pz)
+                            if k == 1:
+                                base = sv_plane(q) if stream_v else None
+                            else:
+                                base = gens[k - 2][r3(q), :yl, :zl]
+                            val = e_q if base is None else base + e_q
+                            stage_store(
+                                k, q, jnp.where(keep, val, zero_plane),
+                                is_last,
                             )
-                            val = jacobi_plane(l, rp(0), rr_lin, nvi)
-                        val = jnp.where(keep, val, zero_plane)
-                        if is_last:
-                            outst[r16(q - 1), :yl, :zl] = val
-                        else:
-                            gens[k - 1 + goff][r3(q), :yl, :zl] = val
+                    else:
+                        @pl.when((q >= 1) & (q <= nx))
+                        def _(k=k, q=q, is_last=is_last):
+                            fint = sf_plane(q)
+                            nvi = snv_plane(q) if has_nv else None
+                            if k == 1 and src == "zero":
+                                val = jacobi_zero_plane(l, fint, nvi)
+                            else:
+                                if k == 1:
+                                    rp = lambda dq: sv_plane(q + dq)
+                                else:
+                                    ring = gens[k - 2]
+                                    rp = lambda dq: ring[
+                                        r3(q + dq), :yl, :zl
+                                    ]
+                                rr_lin = stencil_acc(
+                                    l, rp, init=fint, sign=-1.0
+                                )
+                                val = jacobi_plane(l, rp(0), rr_lin, nvi)
+                            stage_store(
+                                k, q, jnp.where(keep, val, zero_plane),
+                                is_last,
+                            )
 
                     if is_last:
                         # Halo/pad planes of the out staging must be zero
-                        # (they are written back to HBM).
+                        # (they are written back to HBM, and the consumer
+                        # reads the +x halo plane).
                         @pl.when((q > nx) & (q >= 1) & (q <= NC * _TX))
                         def _(q=q):
                             outst[r16(q - 1), :yl, :zl] = zero_plane
 
-                        @pl.when(
-                            (q >= 1)
-                            & (((q - 1) % _TX) == _TX - 1)
-                            & (q <= NC * _TX)
-                        )
-                        def _(q=q):
-                            out_chunk((q - 1) // _TX)
+                        if nx % _TX == 0 and consumer is not None:
+                            # Chunk coverage stops at plane nx: stage the
+                            # x-halo plane's zero for the consumer's +x
+                            # stencil reads.
+                            @pl.when(q == nx + 1)
+                            def _(q=q):
+                                outst[r16(q - 1), :yl, :zl] = zero_plane
+
+                        if write_v:
+                            @pl.when(
+                                (q >= 1)
+                                & (((q - 1) % _TX) == _TX - 1)
+                                & (q <= NC * _TX)
+                            )
+                            def _(q=q):
+                                out_chunk((q - 1) // _TX)
                     else:
                         @pl.when((q == 0) | (q == nx + 1))
                         def _(k=k, q=q):
-                            gens[k - 1 + goff][r3(q), :yl, :zl] = \
-                                zero_plane
+                            gens[k - 1][r3(q), :yl, :zl] = zero_plane
 
                 # --- consumer --------------------------------------------
                 if consumer == "norm":
-                    q = p - S - 1
+                    q = p - L - 1
                     total, comp = carry
                     cond = (q >= 1) & (q <= nx)
                     rr_lin = stencil_acc(
@@ -591,7 +694,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     comp = (tt - total) - y
                     carry = (tt, comp)
                 elif consumer == "restrict":
-                    q = p - S - 1
+                    q = p - L - 1
 
                     @pl.when((q >= 1) & (q <= nx))
                     def _():
@@ -684,9 +787,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             )
 
             # --- epilogue: drain outstanding DMAs ---------------------------
-            for back in (2, 1):
-                if NC - back >= 0:
-                    out_chunk(jnp.int32(NC - back), wait=True)
+            if write_v:
+                for back in (2, 1):
+                    if NC - back >= 0:
+                        out_chunk(jnp.int32(NC - back), wait=True)
             if consumer == "restrict":
                 if not c_tiny:
                     for back in (2, 1):
@@ -727,16 +831,17 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         # Tiny resident pass (alloc x-extent <= 16): the whole level lives
         # in VMEM, all plane indices static, loops fully unrolled.
         # ------------------------------------------------------------------
-        def resident_pass(l, src, n_sweeps, consumer):
+        def resident_pass(l, src, chain, consumer, write_v=True):
             nx, ny, nz = dims[l]
             ax = shapes[l][0]
             yl = shapes[l][1]
             zl = zls[l]
-            S = n_sweeps
+            has_corr = "corr" in chain
             keep = keep_mask((yl, zl), ny, nz)
             zero_plane = jnp.zeros((yl, zl), dtype)
             vref, fref = buf(l, 0), buf(l, 1)
             nvref = buf(l, 2) if has_nv else None
+            stream_v = src == "hbm"
 
             def load(ref, dst, si, n=ax, yy=yl, zz=zl):
                 return pltpu.make_async_copy(
@@ -746,11 +851,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 )
 
             cps = [load(fref, tf, 1)]
-            if src in ("hbm", "prolong"):
+            if stream_v:
                 cps.append(load(vref, tv, 0))
             if has_nv:
                 cps.append(load(nvref, tnv, 2))
-            if src == "prolong":
+            if has_corr:
                 lcp = l + 1
                 pcax = shapes[lcp][0]
                 pcyl = shapes[lcp][1]
@@ -774,60 +879,63 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             def nvpl(j):
                 return tnv[j, :yl, :zl] if has_nv else None
 
-            # Source generation.
-            if src == "hbm":
-                cur = [tv[j, :yl, :zl] for j in range(nx + 2)]
-            elif src == "zero":
-                cur = None
-            else:  # prolong
-                py = _prolong_matrix(pcyl, yl, ny, dtype)
-                pz = _prolong_matrix(pczl, zl, nz, dtype)
-                cur = [zero_plane]
-                for q in range(1, nx + 1):
-                    ca = tc[q // 2, :pcyl, :pczl]
-                    cb = tc[(q + 1) // 2, :pcyl, :pczl]
-                    if has_rv:
-                        ca = ca - tnv[q // 2, :pcyl, :pczl]
-                        cb = cb - tnv[(q + 1) // 2, :pcyl, :pczl]
-                    e_q = prolong_yz(0.5 * (ca + cb), py, pz)
-                    cur.append(
-                        jnp.where(keep, tv[q, :yl, :zl] + e_q, zero_plane)
-                    )
-                cur.append(zero_plane)
-
             def st_rr(planes, j):
                 # f - A·v/h² at plane j (FMA-accumulated)
                 return stencil_acc(
                     l, lambda dq: planes[j + dq], init=fpl(j), sign=-1.0
                 )
 
-            for k in range(1, S + 1):
-                nxt = [zero_plane]
-                for j in range(1, nx + 1):
-                    if k == 1 and src == "zero":
-                        val = jacobi_zero_plane(l, fpl(j), nvpl(j))
-                    else:
-                        rr_lin = st_rr(cur, j)
-                        val = jacobi_plane(l, cur[j], rr_lin, nvpl(j))
-                    nxt.append(jnp.where(keep, val, zero_plane))
-                nxt.append(zero_plane)
-                cur = nxt
+            # Lag-0 source.
+            if stream_v:
+                cur = [tv[j, :yl, :zl] for j in range(nx + 2)]
+            else:
+                cur = None
 
-            # Write back v.  For src='zero' the tv buffer was never loaded:
-            # zero its halo/pad planes so the write-back keeps the HBM
-            # invariant (cells outside the interior stay zero).
-            for j in range(1, nx + 1):
-                tv[j, :yl, :zl] = cur[j]
-            if src == "zero":
-                tv[0, :yl, :zl] = zero_plane
-                for j in range(nx + 1, ax):
-                    tv[j, :yl, :zl] = zero_plane
-            cp_out = pltpu.make_async_copy(
-                tv.at[pl.ds(0, ax), :yl, :zl],
-                vref.at[pl.ds(0, ax), :, :zl],
-                sem.at[4, 0],
-            )
-            cp_out.start()
+            for k, kind in enumerate(chain, start=1):
+                if kind == "corr":
+                    py = _prolong_matrix(pcyl, yl, ny, dtype)
+                    pz = _prolong_matrix(pczl, zl, nz, dtype)
+                    nxt = [zero_plane]
+                    for q in range(1, nx + 1):
+                        ca = tc[q // 2, :pcyl, :pczl]
+                        cb = tc[(q + 1) // 2, :pcyl, :pczl]
+                        if has_rv:
+                            ca = ca - tnv[q // 2, :pcyl, :pczl]
+                            cb = cb - tnv[(q + 1) // 2, :pcyl, :pczl]
+                        e_q = prolong_yz(0.5 * (ca + cb), py, pz)
+                        val = e_q if cur is None else cur[q] + e_q
+                        nxt.append(jnp.where(keep, val, zero_plane))
+                    nxt.append(zero_plane)
+                    cur = nxt
+                else:
+                    nxt = [zero_plane]
+                    for j in range(1, nx + 1):
+                        if k == 1 and src == "zero":
+                            val = jacobi_zero_plane(l, fpl(j), nvpl(j))
+                        else:
+                            rr_lin = st_rr(cur, j)
+                            val = jacobi_plane(l, cur[j], rr_lin, nvpl(j))
+                        nxt.append(jnp.where(keep, val, zero_plane))
+                    nxt.append(zero_plane)
+                    cur = nxt
+
+            cp_out = None
+            if write_v:
+                # Write back v.  When v was never loaded (src='zero'), zero
+                # the halo/pad planes so the write-back keeps the HBM
+                # invariant (cells outside the interior stay zero).
+                for j in range(1, nx + 1):
+                    tv[j, :yl, :zl] = cur[j]
+                if not stream_v:
+                    tv[0, :yl, :zl] = zero_plane
+                    for j in range(nx + 1, ax):
+                        tv[j, :yl, :zl] = zero_plane
+                cp_out = pltpu.make_async_copy(
+                    tv.at[pl.ds(0, ax), :yl, :zl],
+                    vref.at[pl.ds(0, ax), :, :zl],
+                    sem.at[4, 0],
+                )
+                cp_out.start()
 
             result = None
             if consumer == "restrict":
@@ -886,7 +994,8 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     total = tt
                 result = total
 
-            cp_out.wait()
+            if cp_out is not None:
+                cp_out.wait()
             return result
 
         # ------------------------------------------------------------------
@@ -1020,6 +1129,27 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         # ------------------------------------------------------------------
         def one_cycle():
             np_done = 0
+            # Schedule choice.  The chain machinery supports a
+            # traffic-minimal "recompute" schedule for LINEAR/NEWTON: down
+            # legs skip the v write-back and the up leg re-derives the
+            # pre-smoothed v bit-identically (same zero/HBM start, same f,
+            # same op order) before adding the prolonged correction —
+            # 3.19 vs 4.0 GB streamed per 511³ cycle.  Measured on v5e it
+            # LOSES: the extra recomputed sweeps make the up legs
+            # VPU-bound (full recompute 19.7 ms, mid-level-only 17.7 ms vs
+            # 17.1 ms write-back at 511³; the chip's Pallas-reachable DMA
+            # aggregate is ~250 GB/s, low enough that write-back stays
+            # DMA-bound but cheap enough to beat the recompute's VPU
+            # cost).  Flip _RECOMPUTE_FROM_LEVEL (0 = all levels, 1 = mid
+            # levels only) on parts with faster HBM-per-FLOP.  FAS always
+            # writes back: its down leg must materialise v (restricted
+            # into the coarse v / rest_v).
+            def rec(l):
+                return (
+                    not has_rv
+                    and _RECOMPUTE_FROM_LEVEL is not None
+                    and l >= _RECOMPUTE_FROM_LEVEL
+                )
 
             def more():
                 nonlocal np_done
@@ -1032,7 +1162,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 pass_fn = resident_pass if tiny[l] else stream_pass
                 if not more():
                     return jnp.float32(0.0)
-                pass_fn(l, src, pre, "restrict")
+                pass_fn(
+                    l, src, ("sweep",) * pre, "restrict",
+                    write_v=not rec(l),
+                )
                 if has_rv:
                     if not more():
                         return jnp.float32(0.0)
@@ -1041,14 +1174,27 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             pass_fn = resident_pass if tiny[lcoarse] else stream_pass
             if not more():
                 return jnp.float32(0.0)
-            pass_fn(lcoarse, "hbm" if has_rv else "zero", pre + post, None)
+            pass_fn(
+                lcoarse, "hbm" if has_rv else "zero",
+                ("sweep",) * (pre + post), None,
+            )
             sumsq = None
             for l in range(nlev - 2, -1, -1):
                 pass_fn = resident_pass if tiny[l] else stream_pass
                 if not more():
                     return jnp.float32(0.0)
+                if rec(l):
+                    chain = ("sweep",) * pre + ("corr",) + \
+                        ("sweep",) * post
+                    # mid levels re-derive the pre-smoothed v from the
+                    # down leg's zero start; the finest level's v carries
+                    # across cycles and must stream from HBM
+                    src = "hbm" if l == 0 else "zero"
+                else:
+                    chain = ("corr",) + ("sweep",) * post
+                    src = "hbm"
                 sumsq = pass_fn(
-                    l, "prolong", post, "norm" if l == 0 else None
+                    l, src, chain, "norm" if l == 0 else None
                 )
             if sumsq is None:
                 sumsq = jnp.float32(0.0)
@@ -1080,27 +1226,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     # ---- call signature --------------------------------------------------
     n_in = nlev * n_arr
     scratch = [
-        pltpu.VMEM((16, y0, zl0), dtype),  # sv
-        pltpu.VMEM((16, y0, zl0), dtype),  # sf
-        pltpu.VMEM((16, y0, zl0), dtype),  # outst
+        pltpu.VMEM(shape, dtype)
+        for shape in _plan_scratch(dims, shapes, zls, mode, pre, post, 4)
     ]
-    if has_nv:
-        scratch.append(pltpu.VMEM((16, y0, zl0), dtype))  # snv
-    for _ in range(n_gen):
-        scratch.append(pltpu.VMEM((3, y0, zl0), dtype))
-    scratch.append(pltpu.VMEM((3, y0, zl0), dtype))       # rres
-    scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))    # sc
-    scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))    # cst
-    if has_rv:
-        scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))  # sc2
-        scratch.append(pltpu.VMEM((16, yc0, zlc0), dtype))  # cst2
-    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tv
-    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tf
-    scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tc
-    if has_nv or has_rv:
-        scratch.append(pltpu.VMEM((_TINY_AX, yt0, zlt0), dtype))  # tnv
     scratch.append(pltpu.SMEM((1, 2), jnp.int32))          # acc
-    scratch.append(pltpu.SemaphoreType.DMA((8, 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((8, 3)))
 
     out_shapes = []
     out_specs = []

@@ -160,3 +160,34 @@ def test_supported_gates():
     assert pv2.z_live((127, 127, 127), alloc_shape((127, 127, 127))) == 128
     assert pv2.z_live((511, 511, 511), alloc_shape((511, 511, 511))) == 512
     assert pv2.z_live((63, 63, 63), alloc_shape((63, 63, 63))) == 128
+
+
+@pytest.mark.parametrize("mode", [Mode.LINEAR, Mode.NEWTON])
+@pytest.mark.parametrize("from_level", [0, 1])
+def test_vcycle2_recompute_schedule_bit_identical(mode, from_level):
+    """The traffic-minimal recompute schedule (down legs skip the v
+    write-back, up legs re-derive the pre-smoothed v) must produce
+    bit-identical fields and norms to the write-back schedule: the
+    recomputed sweeps run the same ops on the same inputs."""
+    p = make_params(mode, (31, 31, 31))
+    state = seeded_state(p)
+
+    fields_w, norms_w = pv2.vcycle2_fused(
+        state.levels, p, max_cycles=2, interpret=True
+    )
+    old = pv2._RECOMPUTE_FROM_LEVEL
+    pv2._RECOMPUTE_FROM_LEVEL = from_level
+    pv2._vcycle2_call.cache_clear()
+    try:
+        state2 = seeded_state(p)
+        fields_r, norms_r = pv2.vcycle2_fused(
+            state2.levels, p, max_cycles=2, interpret=True
+        )
+    finally:
+        pv2._RECOMPUTE_FROM_LEVEL = old
+        pv2._vcycle2_call.cache_clear()
+
+    np.testing.assert_array_equal(np.asarray(norms_r), np.asarray(norms_w))
+    # v must agree everywhere (level-0 exactly; all levels in fact)
+    for fw, fr in zip(fields_w, fields_r):
+        np.testing.assert_array_equal(np.asarray(fr[0]), np.asarray(fw[0]))
