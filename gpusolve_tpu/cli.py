@@ -79,6 +79,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "the in-kernel stop test preserves the residual history and final "
         "state while amortising per-launch overhead on small grids",
     )
+    ap.add_argument(
+        "--cycle", choices=["V", "W", "F"], default="V",
+        help="multigrid cycling schedule (beyond-reference: the reference "
+        "is V-only): W recurses twice per level, F recurses F-then-V; "
+        "one outer cycle = one stop-test iteration either way",
+    )
     return ap
 
 
@@ -109,10 +115,26 @@ def main(argv=None) -> int:
             dtype="float64" if native else args.dtype,
             backend="xla" if native else args.backend,
             print_progress=not args.quiet,
+            cycle_type=args.cycle,
         )
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
+
+    if args.cycle != "V":
+        if native:
+            print(
+                "--cycle W/F is not available on the cpu-native backend",
+                file=sys.stderr,
+            )
+            return 1
+        if args.mesh and args.dist_engine == "spmd":
+            print(
+                "--cycle W/F is not available on the explicit spmd "
+                "engine; use --dist-engine gspmd",
+                file=sys.stderr,
+            )
+            return 1
 
     # Reference announces the mode (src/main.cpp:44-51).
     mode_msg = {

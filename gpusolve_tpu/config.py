@@ -98,6 +98,20 @@ class GridParams:
     # TPU-specific knobs (no reference equivalent):
     dtype: str = "float32"  # "float32" | "float64" (f64 emulated on TPU)
     backend: str = "auto"  # op backend: "auto" | "xla" | "pallas"
+    # Multigrid cycling schedule (beyond-reference: the reference only has
+    # V-cycles, src/cpu/CpuSolver.cpp:85-139).  "V" recurses once per
+    # level, "W" twice, "F" recurses F-then-V (each coarse visit continues
+    # from the previous visit's v; every visit restricts afresh and zeroes
+    # its own coarser start, so one outer cycle = one stop-test iteration
+    # regardless of schedule).
+    cycle_type: str = "V"  # "V" | "W" | "F"
+
+    def __post_init__(self) -> None:
+        if self.cycle_type not in ("V", "W", "F"):
+            raise ValueError(
+                f"cycle_type must be 'V', 'W' or 'F', got "
+                f"{self.cycle_type!r}"
+            )
 
     @property
     def h(self) -> float:

@@ -647,6 +647,10 @@ def _prolong_matrix(cp_, fp, fn, dtype):
 
 
 def supported(params: GridParams) -> bool:
+    # v1 implements the V schedule only; W/F route to the wavefront
+    # kernel (ops/pallas_vcycle2) or the XLA path.
+    if params.cycle_type != "V":
+        return False
     return params.mode in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR)
 
 

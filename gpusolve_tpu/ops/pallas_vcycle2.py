@@ -107,6 +107,32 @@ def _prolong_matrix(cp_, fp, fn, dtype):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
+_MAX_PASSES = 140  # Mosaic program-size cap: one unrolled pass body each
+
+
+def _level_visits(nlev: int, cycle_type: str):
+    """Times each level is visited per outer cycle: V -> 1, F -> l+1,
+    W -> 2^l (the standard gamma-cycle visit counts)."""
+    visits = [1] * nlev
+    for l in range(1, nlev):
+        if cycle_type == "W":
+            visits[l] = 2 * visits[l - 1]
+        elif cycle_type == "F":
+            visits[l] = visits[l - 1] + 1
+    return visits
+
+
+def _cycle_pass_count(params: GridParams) -> int:
+    nlev = params.num_levels
+    visits = _level_visits(nlev, params.cycle_type)
+    n = visits[-1]  # coarsest passes
+    for l in range(nlev - 1):
+        n += 2 * visits[l]  # one down + one up pass per visit
+        if params.mode == Mode.NONLINEAR:
+            n += visits[l]  # fas_fixup pass
+    return n
+
+
 def _plan_scratch(dims, shapes, zls, mode, pre: int, post: int, itemsize):
     """Mirror of the kernel's VMEM scratch plan: list of element counts.
     Used both to allocate and (in ``supported``) to budget-check."""
@@ -166,6 +192,8 @@ def supported(params: GridParams) -> bool:
         return False
     if params.pre_smoothing > 5 or params.post_smoothing > 5:
         return False
+    if _cycle_pass_count(params) > _MAX_PASSES:
+        return False
     dims = params.level_dims()
     shapes = [alloc_shape(d) for d in dims]
     # The coarsest level runs pre+post fused sweeps; the streamed-pass sweep
@@ -197,7 +225,8 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     a (maxk, 1) f32 vector of per-cycle residual sum-of-squares, -1 for
     cycles not executed.
     """
-    (stencil_values, stencil_offsets, mode, omega, gamma, pre, post) = key
+    (stencil_values, stencil_offsets, mode, omega, gamma, pre, post,
+     cycle_type) = key
     dims = dims_key
     taps = tuple(zip(stencil_values, stencil_offsets))
     dtype = jnp.dtype(dtype_name)
@@ -1157,45 +1186,52 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 return _DEBUG_MAX_PASSES is None or \
                     np_done <= _DEBUG_MAX_PASSES
 
-            for l in range(nlev - 1):
-                src = "hbm" if (l == 0 or has_rv) else "zero"
+            subcycles = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+
+            def cyc(l, kind, first_visit):
+                """One cycle rooted at level l (W/F: repeat coarse visits
+                continue from the previous visit's v, so their passes read
+                v from HBM instead of the zero start)."""
                 pass_fn = resident_pass if tiny[l] else stream_pass
+                fresh = first_visit and not has_rv
+                if l == nlev - 1:
+                    if not more():
+                        return None
+                    pass_fn(
+                        l, "zero" if fresh else "hbm",
+                        ("sweep",) * (pre + post), None,
+                    )
+                    return None
+                src = "hbm" if (l == 0 or not fresh) else "zero"
                 if not more():
-                    return jnp.float32(0.0)
+                    return None
                 pass_fn(
                     l, src, ("sweep",) * pre, "restrict",
                     write_v=not rec(l),
                 )
                 if has_rv:
                     if not more():
-                        return jnp.float32(0.0)
+                        return None
                     fas_fixup(l + 1)
-            lcoarse = nlev - 1
-            pass_fn = resident_pass if tiny[lcoarse] else stream_pass
-            if not more():
-                return jnp.float32(0.0)
-            pass_fn(
-                lcoarse, "hbm" if has_rv else "zero",
-                ("sweep",) * (pre + post), None,
-            )
-            sumsq = None
-            for l in range(nlev - 2, -1, -1):
-                pass_fn = resident_pass if tiny[l] else stream_pass
-                if not more():
-                    return jnp.float32(0.0)
+                for si, sub in enumerate(subcycles[kind]):
+                    cyc(l + 1, sub, first_visit=(si == 0))
                 if rec(l):
                     chain = ("sweep",) * pre + ("corr",) + \
                         ("sweep",) * post
-                    # mid levels re-derive the pre-smoothed v from the
-                    # down leg's zero start; the finest level's v carries
-                    # across cycles and must stream from HBM
-                    src = "hbm" if l == 0 else "zero"
+                    # mid first visits re-derive the pre-smoothed v from
+                    # the down leg's zero start; the finest level's (and
+                    # any repeat visit's) v must stream from HBM
+                    src_up = "hbm" if (l == 0 or not fresh) else "zero"
                 else:
                     chain = ("corr",) + ("sweep",) * post
-                    src = "hbm"
-                sumsq = pass_fn(
-                    l, src, chain, "norm" if l == 0 else None
+                    src_up = "hbm"
+                if not more():
+                    return None
+                return pass_fn(
+                    l, src_up, chain, "norm" if l == 0 else None
                 )
+
+            sumsq = cyc(0, cycle_type, True)
             if sumsq is None:
                 sumsq = jnp.float32(0.0)
             return sumsq
@@ -1284,6 +1320,7 @@ def vcycle2_fused(
         params.gamma,
         params.pre_smoothing,
         params.post_smoothing,
+        params.cycle_type,
     )
     dims_key = params.level_dims()
     dtype_name = state_levels[0].v.dtype.name
@@ -1328,6 +1365,7 @@ def batch_call(args, params: GridParams, maxk: int, ncyc, thr,
         params.gamma,
         params.pre_smoothing,
         params.post_smoothing,
+        params.cycle_type,
     )
     call = _vcycle2_call(
         key, params.level_dims(), args[0].dtype.name, maxk, interpret

@@ -83,8 +83,9 @@ def vcycle(
             lvl, v=_constrain(v, shardings, i), r=spare
         )
 
-    # Down-leg (reference :87-114).
-    for i in range(nlev - 1):
+    def down_step(i: int) -> None:
+        """Pre-smooth level i, restrict its residual into level i+1's RHS
+        (reference :87-114)."""
         smooth_level(i, params.pre_smoothing)
         lvl = levels[i]
         r, _ = ops.residual_op(
@@ -109,7 +110,7 @@ def vcycle(
             # restV and v, add the coarse operator applied to it onto f.
             rest_v = _constrain(
                 ops.restrict_op(
-                    nxt.rest_v, lvl.v, dims[i], dims[i + 1], params
+                    nxt.rest_v, levels[i].v, dims[i], dims[i + 1], params
                 ),
                 shardings,
                 i + 1,
@@ -125,28 +126,42 @@ def vcycle(
                 r=a_coarse,
             )
 
-    # Coarsest level: smoothing only, no direct solve (reference :117).
-    smooth_level(nlev - 1, params.pre_smoothing + params.post_smoothing)
-
-    # Up-leg (reference :119-135).
-    for i in range(nlev - 1, 0, -1):
+    def up_step(i: int) -> None:
+        """Prolong level i+1's correction onto level i, post-smooth
+        (reference :119-135)."""
         if fas:
-            levels[i] = dataclasses.replace(
-                levels[i], v=levels[i].v - levels[i].rest_v
+            levels[i + 1] = dataclasses.replace(
+                levels[i + 1], v=levels[i + 1].v - levels[i + 1].rest_v
             )
-        lvl = levels[i - 1]
+        lvl = levels[i]
         # Trilinear prolongation fused with the coarse-grid correction
         # (reference interpolate :240-290 then `v += e` :130-132).
         v_corr, e = ops.prolong_add_op(
-            lvl.r, levels[i].v, lvl.v, dims[i], dims[i - 1], params
+            lvl.r, levels[i + 1].v, lvl.v, dims[i + 1], dims[i], params
         )
-        levels[i - 1] = dataclasses.replace(
+        levels[i] = dataclasses.replace(
             lvl,
-            v=_constrain(v_corr, shardings, i - 1),
+            v=_constrain(v_corr, shardings, i),
             r=lvl.v,  # old v value is dead; its buffer becomes the scratch
             e=e if e is not None else lvl.e,
         )
-        smooth_level(i - 1, params.post_smoothing)
+        smooth_level(i, params.post_smoothing)
+
+    # Cycle schedule (V per the reference; W/F beyond-reference, see
+    # config.GridParams.cycle_type): recursion unrolled at trace time.
+    subcycles = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+
+    def cycle_at(i: int, kind: str) -> None:
+        if i == nlev - 1:
+            # Coarsest level: smoothing only, no direct solve (ref :117).
+            smooth_level(i, params.pre_smoothing + params.post_smoothing)
+            return
+        down_step(i)
+        for sub in subcycles[kind]:
+            cycle_at(i + 1, sub)
+        up_step(i)
+
+    cycle_at(0, params.cycle_type)
 
     # Final residual + norm (reference :138).
     lvl0 = levels[0]

@@ -196,30 +196,42 @@ def interpolate(grid: OracleGrid, ln: int) -> None:
     )
 
 
-def vcycle(grid: OracleGrid) -> float:
-    """One V-cycle (reference: src/cpu/CpuSolver.cpp:85-139)."""
+_SUBCYCLES = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+
+
+def _cycle(grid: OracleGrid, i: int, kind: str) -> None:
+    """One multigrid cycle rooted at level ``i`` (reference V-cycle:
+    src/cpu/CpuSolver.cpp:85-139; W/F are the standard gamma-cycle
+    generalisations — beyond-reference, mirroring gpusolve_tpu)."""
     p = grid.params
     nlev = len(grid.levels)
-    for i in range(nlev - 1):
-        jacobi(grid, i, p.pre_smoothing)
-        nxt = grid.levels[i + 1]
-        comp_residual(grid, i)
-        restrict(grid.levels[i].r, nxt.f)
-        if p.mode != Mode.NONLINEAR:
-            nxt.v[:] = 0.0
-        else:
-            restrict(grid.levels[i].v, nxt.rest_v)
-            restrict(grid.levels[i].v, nxt.v)
-            apply_stencil(grid, i + 1, nxt.rest_v)
-            nxt.f += nxt.r
-    jacobi(grid, nlev - 1, p.pre_smoothing + p.post_smoothing)
-    for i in range(nlev - 1, 0, -1):
-        if p.mode == Mode.NONLINEAR:
-            grid.levels[i].v -= grid.levels[i].rest_v
-        interpolate(grid, i - 1)
-        prev = grid.levels[i - 1]
-        prev.v += prev.e
-        jacobi(grid, i - 1, p.post_smoothing)
+    if i == nlev - 1:
+        jacobi(grid, i, p.pre_smoothing + p.post_smoothing)
+        return
+    jacobi(grid, i, p.pre_smoothing)
+    nxt = grid.levels[i + 1]
+    comp_residual(grid, i)
+    restrict(grid.levels[i].r, nxt.f)
+    if p.mode != Mode.NONLINEAR:
+        nxt.v[:] = 0.0
+    else:
+        restrict(grid.levels[i].v, nxt.rest_v)
+        restrict(grid.levels[i].v, nxt.v)
+        apply_stencil(grid, i + 1, nxt.rest_v)
+        nxt.f += nxt.r
+    for sub in _SUBCYCLES[kind]:
+        _cycle(grid, i + 1, sub)
+    if p.mode == Mode.NONLINEAR:
+        nxt.v -= nxt.rest_v
+    interpolate(grid, i)
+    grid.levels[i].v += grid.levels[i].e
+    jacobi(grid, i, p.post_smoothing)
+
+
+def vcycle(grid: OracleGrid) -> float:
+    """One cycle of the configured type (V unless params.cycle_type says
+    otherwise); returns the finest-level residual norm."""
+    _cycle(grid, 0, getattr(grid.params, "cycle_type", "V"))
     return comp_residual(grid, 0)
 
 
