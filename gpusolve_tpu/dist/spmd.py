@@ -559,17 +559,58 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             hi = lo
         return lo, hi
 
-    def _trap_smooth(l, v, f, aux, n_iter, with_norm=False):
+    def _trap_smooth(l, v, f, aux, n_iter, with_norm=False,
+                     restrict=False):
         vlo, vhi = _x_slabs(v)
         flo, fhi = _x_slabs(f)
         slabs = [vlo, vhi, flo, fhi]
         if has_nv:
             slabs.extend(_x_slabs(aux))
-        return pallas_spmd.multi_sweep_block(
+        consumer = (
+            "norm" if with_norm else ("restrict" if restrict else None)
+        )
+        kw = {}
+        if restrict:
+            kw = dict(czz=_coarse_zz(l + 1), cnz=plan.dims[l + 1][2])
+        outs = pallas_spmd.multi_sweep_block(
             v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
             n_iter, newton_v=aux if has_nv else None,
-            with_norm=with_norm, interpret=interp,
+            consumer=consumer, interpret=interp, **kw,
         )
+        return outs
+
+    def _trap_rr_ok(l, n_iter):
+        """Down-leg trapezoid + fused residual/restrict eligibility: the
+        kernel's coarse chunk DMAs need 8 | bx//2, and its ghost-zone
+        residual recompute (exact r[-1] without a shard fix-up) needs the
+        sweep cone inside the 8-plane slab: n_iter + 2 <= 8."""
+        return (
+            _trap_ok(l, n_iter) and _rr_fused(l)
+            and plan.block[l][0] % 16 == 0 and n_iter + 2 <= 8
+        )
+
+    def _trap_corr_ok(lc, n_iter):
+        """Fused up leg (prolongation as trapezoid stage 0 + the post
+        sweeps in one pass): the chain length post+1 must keep the slab
+        prefetch trigger inside the 8-step window (post <= 4), and the
+        coarse block must halve the fine one with DMA-tileable extents."""
+        lf = lc - 1
+        cb = plan.block[lc]
+        return (
+            lc < nd and _trap_ok(lf, n_iter) and 1 <= n_iter <= 4
+            and cb[0] == plan.block[lf][0] // 2 and cb[1] % 8 == 0
+            and _coarse_zz(lc) <= cb[2]
+        )
+
+    # Observability (and test hooks): which levels run the single-pass
+    # fused legs.
+    plan.fused_down_levels = tuple(
+        l for l in range(nd) if _trap_rr_ok(l, params.pre_smoothing)
+    )
+    plan.fused_up_levels = tuple(
+        lc for lc in range(1, nd)
+        if _trap_corr_ok(lc, params.post_smoothing)
+    )
 
     def _shift2(a, oy, oz):
         """Zero-fill shift of a 2-D (y, z) plane by -offset (tap
@@ -793,18 +834,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             arrs = sget(l)
             v, f = arrs[0], arrs[1]
             aux = aux_of(arrs)
-            v = _smooth(l, v, f, aux, pre)
-            sset(l, v=v)
-            if _rr_fused(l):
-                # Fused residual + x/z restriction: r never hits HBM
-                # (ops/pallas_spmd.residual_restrict_block docstring).
-                czz = _coarse_zz(l + 1)
-                xzr, rlast, xzv = pallas_spmd.residual_restrict_block(
-                    v, f, _faces2d(v), _bounds_arr(l), params, hs[l],
-                    zzs[l], czz, plan.dims[l + 1][2],
-                    newton_v=aux if has_nv else None, interpret=interp,
-                )
-                xzr = _fix_x0(xzr, rlast, 0.25)
+
+            def _finish_restrict(xzr, xzv, l=l):
+                """y-restrict + embed the kernel's x/z-restricted outputs
+                into the coarse level (shared by both fused paths)."""
                 keep_c = _interior_mask(plan, l + 1, dtype)
                 zero_c = jnp.zeros(keep_c.shape, dtype)
                 f_next = jnp.where(
@@ -822,6 +855,29 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     sset(l + 1, v=rv, f=f_next, aux=rv)
                 else:
                     sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
+
+            if _trap_rr_ok(l, pre):
+                # Single streaming pass for the whole down leg: all pre
+                # sweeps + residual + x/z restriction (v,f read once).
+                v, xzr, xzv = _trap_smooth(
+                    l, v, f, aux, pre, restrict=True
+                )
+                sset(l, v=v)
+                _finish_restrict(xzr, xzv)
+                continue
+            v = _smooth(l, v, f, aux, pre)
+            sset(l, v=v)
+            if _rr_fused(l):
+                # Fused residual + x/z restriction: r never hits HBM
+                # (ops/pallas_spmd.residual_restrict_block docstring).
+                czz = _coarse_zz(l + 1)
+                xzr, rlast, xzv = pallas_spmd.residual_restrict_block(
+                    v, f, _faces2d(v), _bounds_arr(l), params, hs[l],
+                    zzs[l], czz, plan.dims[l + 1][2],
+                    newton_v=aux if has_nv else None, interpret=interp,
+                )
+                xzr = _fix_x0(xzr, rlast, 0.25)
+                _finish_restrict(xzr, xzv)
                 continue
             r, _ = _residual(l, v, f, aux, with_norm=False)
             asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape)
@@ -936,6 +992,36 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 vc = arrs_c[0]
                 if has_rv:
                     vc = vc - arrs_c[2]
+                if _trap_corr_ok(l, post):
+                    # Single streaming pass for the whole up leg:
+                    # prolongation + correction add + all post sweeps
+                    # (+ the finest level's residual norm).
+                    vcc = _clean(l, vc)
+                    clo, chi = _x_slabs(vcc)
+                    vlo, vhi = _x_slabs(vf)
+                    flo, fhi = _x_slabs(ff)
+                    slabs = [vlo, vhi, flo, fhi]
+                    if has_nv:
+                        slabs.extend(_x_slabs(aux_f))
+                    consumer = "norm" if l - 1 == 0 else None
+                    outs = pallas_spmd.multi_sweep_block(
+                        vf, ff, tuple(slabs), _bounds_arr(l - 1),
+                        params, hs[l - 1], zzs[l - 1], post,
+                        newton_v=aux_f if has_nv else None,
+                        coarse=(vcc, clo, chi), czp=_coarse_zz(l),
+                        c_ny=plan.dims[l - 1][1],
+                        c_nz=plan.dims[l - 1][2],
+                        consumer=consumer, interpret=interp,
+                    )
+                    if consumer:
+                        vf, pss = outs
+                        final_ss = _edge_norm_complete(
+                            0, vf, ff, aux_f, pss
+                        )
+                    else:
+                        vf, _ = outs
+                    sset(l - 1, v=vf)
+                    continue
                 if _pl_fused(l):
                     # Fused prolongation + correction add: stream the
                     # xy-ghost-extended coarse block (z stays in padded

@@ -874,24 +874,67 @@ def prolong_add_block(
 _GH = 8  # ghost slab depth (>= S+2 for S <= 5; fixed at the DMA tile)
 
 
+def _prolong_pad_matrix(cp_: int, fp: int, fn: int, dtype):
+    """(cp_, fp) trilinear factor in PADDED local coordinates (y/z unsplit
+    under the trapezoid gate, so local == padded global): fine j reads
+    coarse j//2 and (j+1)//2 with weight 1/2 each (both-parity form),
+    valid fine j in [1, fn]."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 1)
+    d = mm - 2 * cc
+    w = jnp.where(d == 0, 1.0, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.5, w)
+    valid = (mm >= 1) & (mm <= fn)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _multi_sweep_call(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
-    with_norm: bool, interpret: bool,
+    src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
+    interpret: bool,
 ):
+    """Trapezoid multi-sweep with optional fused producer/consumers:
+
+    * ``src_corr``: the leg starts by adding the trilinear-prolonged
+      coarse correction (the up leg's ``v += P(vc)``) as stage 0 of the
+      wavefront — the coarse block streams through its own composite
+      8-plane-ghost-slab window at half rate, so the separate
+      prolong_add pass (and its extra v read+write) disappears.
+      ``corr_geom = (cby, cbz, czp, ny, nz)``.
+    * ``consumer='norm'``: Kahan residual sum-of-squares over interior
+      planes (the caller completes the two x-edge planes).
+    * ``consumer='restrict'``: post-sweep residual + x/z full-weighting
+      restriction to an (bx/2, by, czz) output — the down leg's coarse-RHS
+      producer without re-streaming v,f.  Unlike residual_restrict_block
+      there is NO r_last shard fix-up: the trapezoid's ghost-zone
+      recompute makes the local r[-1] plane exact (its dependency cone
+      reaches S+2 <= 8 planes into the streamed ghost slab), so coarse
+      plane 0 is complete in-kernel.  FAS additionally restricts the
+      post-sweep v (dual output).
+    """
     stencil_values, stencil_offsets, mode, omega, gamma = key
     taps = tuple(zip(stencil_values, stencil_offsets))
     dtype = jnp.dtype(dtype_name)
     bx, by, bz = block
+    with_norm = consumer == "norm"
+    restrict = consumer == "restrict"
+    cbx = bx // 2
     inv_h2 = 1.0 / (h * h)
     pre_fac = stencil_values[0] / (h * h)
     alpha = (h * h) / stencil_values[0]
     has_nv = mode == Mode.NEWTON
     nonlin = mode == Mode.NONLINEAR
+    fas = nonlin and restrict
     stream_v = not src_zero
+    goff = 1 if src_corr else 0
+    L = S + goff  # chain length: lag of the final written generation
     NSLAB = bx // _GH + 2
-    nsteps = bx + _GH + S + (2 if with_norm else 0)
-    trig = S + 2  # in-slab prefetch offset (v2's slab-lifetime pattern)
+    nsteps = bx + _GH + L + (2 if consumer else 0)
+    trig = L + 2  # in-slab prefetch offset (v2's slab-lifetime pattern)
+    if src_corr:
+        cby, cbz, czp, c_ny, c_nz = corr_geom
+        NSC = cbx // _GH + 2  # coarse composite slabs (lo | block | hi)
 
     def kernel(*refs):
         it = iter(refs)
@@ -905,14 +948,22 @@ def _multi_sweep_call(
             nvlo, nvhi = next(it), next(it)
         else:
             nvlo = nvhi = None
+        if src_corr:
+            c_ref, clo, chi = next(it), next(it), next(it)
         b_ref = next(it)
         out_ref = next(it)
         sum_ref = next(it) if with_norm else None
+        xzr_ref = next(it) if restrict else None
+        xzv_ref = next(it) if fas else None
         sv = next(it) if stream_v else None
         sf = next(it)
         snv = next(it) if has_nv else None
-        gens = [next(it) for _ in range(max(S - 1, 1))]
+        gens = [next(it) for _ in range(max(S - 1 + goff, 1))]
         outst = next(it)
+        scc = next(it) if src_corr else None
+        rres = next(it) if restrict else None
+        cst = next(it) if restrict else None
+        cst2 = next(it) if fas else None
         sem = next(it)
 
         yi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 0)
@@ -969,6 +1020,39 @@ def _multi_sweep_call(
                         sem.at[si, (s % 2)],
                     ).wait()
 
+        def c_slab(s, start):
+            """Coarse composite slab DMA (src_corr): slab 0 = clo ghost,
+            1..cbx/8 = coarse block, last = chi ghost; half-rate ring of
+            16 planes, semaphore row 6."""
+            slot = (s % 2) * _GH
+            if start:
+                @pl.when(s == 0)
+                def _():
+                    pltpu.make_async_copy(
+                        clo.at[:, :, :czp], scc.at[pl.ds(slot, _GH)],
+                        sem.at[6, (s % 2)],
+                    ).start()
+
+                @pl.when((s >= 1) & (s < NSC - 1))
+                def _():
+                    pltpu.make_async_copy(
+                        c_ref.at[pl.ds((s - 1) * _GH, _GH), :, :czp],
+                        scc.at[pl.ds(slot, _GH)],
+                        sem.at[6, (s % 2)],
+                    ).start()
+
+                @pl.when(s == NSC - 1)
+                def _():
+                    pltpu.make_async_copy(
+                        chi.at[:, :, :czp], scc.at[pl.ds(slot, _GH)],
+                        sem.at[6, (s % 2)],
+                    ).start()
+            else:
+                pltpu.make_async_copy(
+                    clo.at[:, :, :czp], scc.at[pl.ds(slot, _GH)],
+                    sem.at[6, (s % 2)],
+                ).wait()
+
         def out_chunk(c, wait=False):
             # Plane q lives at ring slot r16(q + 8): chunk c (planes
             # [8c, 8c+8)) occupies slot group ((c+1) % 2) * 8.
@@ -978,6 +1062,27 @@ def _multi_sweep_call(
                 sem.at[3, (c % 2)],
             )
             cp.wait() if wait else cp.start()
+
+        def cst_chunks(c, wait=False):
+            # Coarse plane m sits at staging slot (m % 16); chunk c covers
+            # m in [8c, 8c+8) = slot group (c % 2) * 8.
+            cps = [
+                pltpu.make_async_copy(
+                    cst.at[pl.ds((c % 2) * _GH, _GH)],
+                    xzr_ref.at[pl.ds(c * _GH, _GH)],
+                    sem.at[4, (c % 2)],
+                )
+            ]
+            if fas:
+                cps.append(
+                    pltpu.make_async_copy(
+                        cst2.at[pl.ds((c % 2) * _GH, _GH)],
+                        xzv_ref.at[pl.ds(c * _GH, _GH)],
+                        sem.at[5, (c % 2)],
+                    )
+                )
+            for cp in cps:
+                cp.wait() if wait else cp.start()
 
         def sv_plane(cq):
             return sv[r16(cq)]
@@ -1028,7 +1133,37 @@ def _multi_sweep_call(
             inx = (gq >= 1) & (gq <= b_ref[0, 7])
             return inx & keep_yz
 
+        if restrict:
+            wz = _restrict_z_matrix(zz, czz, cnz, dtype)
+
+            def zc(p2d):
+                return jnp.dot(
+                    p2d, wz, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(dtype)
+
+        if src_corr:
+            py = _prolong_pad_matrix(cby, by, c_ny, dtype)
+            pz = _prolong_pad_matrix(czp, zz, c_nz, dtype)
+
+            def prolong_yz(cplane):
+                tmp = jnp.dot(
+                    cplane, pz, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.dot(
+                    py.T, tmp.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(dtype)
+
         in_slabs(jnp.int32(0), True)
+        if src_corr:
+            c_slab(jnp.int32(0), True)
+            c_slab(jnp.int32(0), False)
+            if NSC > 1:
+                c_slab(jnp.int32(1), True)
+                c_slab(jnp.int32(1), False)
 
         def body(p, carry):
             s = p // _GH
@@ -1044,16 +1179,57 @@ def _multi_sweep_call(
             def _():
                 in_slabs(s + 1, True)
 
+            if src_corr:
+                # Coarse composite slab pacing: slab s_c is first read by
+                # the corr stage near fine step 16*s_c - 9; start it at
+                # step 16*s_c - 20 (its slot's previous occupant, slab
+                # s_c-2, was last read by step 16*s_c - 25) and wait at
+                # 16*s_c - 12.  Slabs 0 and 1 load in the prologue.
+                @pl.when(
+                    (((p + 20) % 16) == 0) & ((p + 20) // 16 >= 2)
+                    & ((p + 20) // 16 < NSC)
+                )
+                def _():
+                    c_slab((p + 20) // 16, True)
+
+                @pl.when(
+                    (((p + 12) % 16) == 0) & ((p + 12) // 16 >= 2)
+                    & ((p + 12) // 16 < NSC)
+                )
+                def _():
+                    c_slab((p + 12) // 16, False)
+
+                # Stage 0 (lag 1): v + prolonged coarse correction.  The
+                # both-parity x factor in local coordinates (shard x
+                # starts are even: bx is even): fine block plane pp reads
+                # coarse local pp//2 and (pp+1)//2, composite +8.
+                cqc = p - 1
+
+                @pl.when((cqc >= 1) & (cqc < bx + 2 * _GH - 1))
+                def _(cqc=cqc):
+                    a = (cqc - _GH) // 2 + _GH
+                    b = (cqc - _GH + 1) // 2 + _GH
+                    ca = scc[r16(a)]
+                    cb = scc[r16(b)]
+                    e_q = prolong_yz(0.5 * (ca + cb))
+                    gens[0][r3(cqc)] = jnp.where(
+                        keep_at(cqc), sv_plane(cqc) + e_q, zero_plane
+                    )
+
             for k in range(1, S + 1):
-                cq = p - k
+                cq = p - k - goff
                 is_last = k == S
 
                 def gen_read(k=k):
                     if k == 1:
+                        if src_corr:
+                            return (
+                                lambda dq, cq=cq: gens[0][r3(cq + dq)]
+                            )
                         if src_zero:
                             return None
                         return lambda dq, cq=cq: sv_plane(cq + dq)
-                    ring = gens[k - 2]
+                    ring = gens[k - 2 + goff]
                     return lambda dq, cq=cq: ring[r3(cq + dq)]
 
                 if is_last:
@@ -1068,7 +1244,9 @@ def _multi_sweep_call(
                     def _():
                         out_chunk(q // _GH - 2, wait=True)
 
-                @pl.when((cq >= k) & (cq < bx + 2 * _GH - k))
+                @pl.when(
+                    (cq >= k + goff) & (cq < bx + 2 * _GH - k - goff)
+                )
                 def _(k=k, cq=cq, is_last=is_last):
                     fint = sf_plane(cq)
                     nvi = snv_plane(cq)
@@ -1086,7 +1264,7 @@ def _multi_sweep_call(
                     if is_last:
                         outst[r16(cq)] = val
                     else:
-                        gens[k - 1][r3(cq)] = val
+                        gens[k - 1 + goff][r3(cq)] = val
 
                 if is_last:
                     q = cq - _GH
@@ -1095,28 +1273,75 @@ def _multi_sweep_call(
                     def _(q=q):
                         out_chunk(q // _GH)
 
+            if consumer:
+                cq = p - L - 1
+                q = cq - _GH
+
+                def res_at(cq=cq):
+                    # post-sweep residual from the out staging ring
+                    av = stencil_sum(lambda dq: outst[r16(cq + dq)])
+                    center = outst[r16(cq)]
+                    if has_nv:
+                        nvi = snv_plane(cq)
+                        av = av + gamma * (1.0 + nvi) * center \
+                            * jnp.exp(nvi)
+                    elif nonlin:
+                        av = av + gamma * center * jnp.exp(center)
+                    return sf_plane(cq) - av
+
             if with_norm:
                 # Post-sweep residual norm over interior planes q in
                 # [1, bx-1); the caller adds the two x-edge planes.
-                cq = p - S - 1
-                q = cq - _GH
                 total, comp = carry
                 cond = (q >= 1) & (q < bx - 1)
-                av = stencil_sum(lambda dq: outst[r16(cq + dq)])
-                center = outst[r16(cq)]
-                if has_nv:
-                    nvi = snv_plane(cq)
-                    av = av + gamma * (1.0 + nvi) * center * jnp.exp(nvi)
-                elif nonlin:
-                    av = av + gamma * center * jnp.exp(center)
-                rr = jnp.where(
-                    keep_at(cq) & cond, sf_plane(cq) - av, zero_plane
-                )
+                rr = jnp.where(keep_at(cq) & cond, res_at(), zero_plane)
                 part = jnp.sum(rr.astype(jnp.float32) ** 2)
                 y = part - comp
                 tt = total + y
                 comp = (tt - total) - y
                 carry = (tt, comp)
+            elif restrict:
+                # The residual is exact for local q in [-1, bx-1]: the
+                # q=-1 plane (the x-lo neighbour's last plane) comes from
+                # the ghost-zone recompute, so coarse plane 0 needs no
+                # shard fix-up.
+                @pl.when((q >= -1) & (q <= bx - 1))
+                def _():
+                    rres[r3(cq)] = jnp.where(
+                        keep_at(cq), res_at(), zero_plane
+                    )
+
+                # Coarse plane m (fine local 2m-1..2m+1) completes when
+                # the q=2m+1 residual lands.
+                m = (q - 1) // 2
+                m_ready = (((q + 64) % 2) == 1) & (m >= 0) & (m < cbx)
+
+                @pl.when(m_ready & ((m % _GH) == 0) & (m // _GH >= 2))
+                def _():
+                    cst_chunks(m // _GH - 2, wait=True)
+
+                @pl.when(m_ready)
+                def _():
+                    base = 2 * m + _GH
+                    sx_c = (
+                        0.25 * rres[r3(base - 1)]
+                        + 0.5 * rres[r3(base)]
+                        + 0.25 * rres[r3(base + 1)]
+                    )
+                    cst[m % 16] = zc(sx_c)
+                    if fas:
+                        # FAS dual restriction of the post-sweep v
+                        # (reference :106-107) from the out staging ring.
+                        vx_c = (
+                            0.25 * outst[r16(base - 1)]
+                            + 0.5 * outst[r16(base)]
+                            + 0.25 * outst[r16(base + 1)]
+                        )
+                        cst2[m % 16] = zc(vx_c)
+
+                @pl.when(m_ready & ((m % _GH) == _GH - 1))
+                def _():
+                    cst_chunks(m // _GH)
             return carry
 
         carry = jax.lax.fori_loop(
@@ -1126,21 +1351,34 @@ def _multi_sweep_call(
         for back in (2, 1):
             if bx // _GH - back >= 0:
                 out_chunk(jnp.int32(bx // _GH - back), wait=True)
+        if restrict:
+            for back in (2, 1):
+                if cbx // _GH - back >= 0:
+                    cst_chunks(jnp.int32(cbx // _GH - back), wait=True)
         if with_norm:
             sum_ref[0, 0] = carry[0]
 
     n_in = (1 if stream_v else 0) + 1 + (1 if has_nv else 0)
     n_in += (2 if stream_v else 0) + 2 + (2 if has_nv else 0)
+    if src_corr:
+        n_in += 3  # coarse block + its two x-face ghost slabs
     scratch = []
     if stream_v:
         scratch.append(pltpu.VMEM((16, by, zz), dtype))  # sv
     scratch.append(pltpu.VMEM((16, by, zz), dtype))      # sf
     if has_nv:
         scratch.append(pltpu.VMEM((16, by, zz), dtype))  # snv
-    for _ in range(max(S - 1, 1)):
+    for _ in range(max(S - 1 + goff, 1)):
         scratch.append(pltpu.VMEM((3, by, zz), dtype))   # gen rings
     scratch.append(pltpu.VMEM((16, by, zz), dtype))      # out staging
-    scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
+    if src_corr:
+        scratch.append(pltpu.VMEM((16, cby, czp), dtype))  # coarse ring
+    if restrict:
+        scratch.append(pltpu.VMEM((3, by, zz), dtype))   # residual ring
+        scratch.append(pltpu.VMEM((16, by, czz), dtype))  # cst staging
+        if fas:
+            scratch.append(pltpu.VMEM((16, by, czz), dtype))  # cst2
+    scratch.append(pltpu.SemaphoreType.DMA((7, 2)))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # bounds
@@ -1149,6 +1387,14 @@ def _multi_sweep_call(
     if with_norm:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    if restrict:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        out_shapes.append(jax.ShapeDtypeStruct((cbx, by, czz), dtype))
+        if fas:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((cbx, by, czz), dtype)
+            )
 
     return pl.pallas_call(
         kernel,
@@ -1167,17 +1413,35 @@ def _multi_sweep_call(
 def multi_sweep_block(
     v, f, xslabs, bounds, params: GridParams, h: float, zz: int,
     n_iter: int, newton_v=None, src_zero: bool = False,
-    with_norm: bool = False, interpret: bool = False,
+    consumer=None, czz: int = 0, cnz: int = 0,
+    coarse=None, czp: int = 0, c_ny: int = 0, c_nz: int = 0,
+    interpret: bool = False,
 ):
     """All ``n_iter`` damped-Jacobi sweeps of one leg in a single streaming
     pass (communication-avoiding: the caller exchanges the 8-plane x-face
     slabs in ``xslabs`` once per leg).  ``xslabs`` is
     (vlo, vhi, flo, fhi[, nvlo, nvhi]); with ``src_zero`` v is neither
-    streamed nor exchanged (down-leg coarse start from v=0).  Returns
-    ``(v_new, partial_sumsq | None)``."""
+    streamed nor exchanged (down-leg coarse start from v=0).
+
+    ``coarse=(vc, clo, chi)`` prepends the fused up-leg prolongation:
+    stage 0 adds the trilinear correction from the coarse block (plus its
+    exchanged 8-plane x-face slabs) before the sweeps.  ``czp`` is the
+    streamed coarse lane extent, ``c_ny``/``c_nz`` the FINE level's y/z
+    interior extents (prolong factor validity).
+
+    ``consumer='norm'`` returns ``(v_new, partial_sumsq)``;
+    ``consumer='restrict'`` returns ``(v_new, xzr[, xzv])`` — the fused
+    down-leg residual + x/z restriction (requires ``bx % 16 == 0``);
+    otherwise ``(v_new, None)``."""
+    src_corr = coarse is not None
+    corr_geom = None
+    if src_corr:
+        vc = coarse[0]
+        corr_geom = (vc.shape[1], vc.shape[2], czp, c_ny, c_nz)
     call = _multi_sweep_call(
         (v.shape if not src_zero else f.shape), zz, f.dtype.name,
-        _compile_key(params), h, n_iter, src_zero, with_norm, interpret,
+        _compile_key(params), h, n_iter, src_zero, src_corr, corr_geom,
+        consumer, czz, cnz, interpret,
     )
     args = []
     if not src_zero:
@@ -1186,8 +1450,14 @@ def multi_sweep_block(
     if params.mode == Mode.NEWTON:
         args.append(newton_v)
     args.extend(xslabs)
+    if src_corr:
+        args.extend(coarse)
     args.append(bounds)
     outs = call(*args)
-    if with_norm:
+    if consumer == "norm":
         return outs[0], outs[1][0, 0]
+    if consumer == "restrict":
+        if params.mode == Mode.NONLINEAR:
+            return outs[0], outs[1], outs[2]
+        return outs[0], outs[1], None
     return outs[0], None

@@ -108,3 +108,59 @@ def test_newton_history_matches_xla_backend(mesh_shape):
     np.testing.assert_allclose(
         np.asarray(hist_p), np.asarray(hist_x), rtol=2e-4
     )
+
+
+@pytest.mark.parametrize(
+    "mode, gamma",
+    [(Mode.LINEAR, 0.0), (Mode.NONLINEAR, 1.0), (Mode.NEWTON, 1.0)],
+    ids=["linear", "nonlinear", "newton"],
+)
+def test_fused_downleg_matches_xla_backend(mode, gamma):
+    """A geometry whose finest blocks satisfy the fused down-leg gates
+    (x-split only, 16 | bx): the single-pass trapezoid+restrict kernel
+    must reproduce the XLA local-compute history."""
+    params = _params(mode, gamma).replace(grid_dim=(63, 31, 127))
+    mesh = make_mesh((2, 1, 1))
+    if mode == Mode.NEWTON:
+        _, hist_x, _ = newton_solve_spmd(
+            params, mesh, cutoff=2, local_backend="xla"
+        )
+        _, hist_p, plan = newton_solve_spmd(
+            params, mesh, cutoff=2, local_backend="pallas"
+        )
+    else:
+        _, hist_x, _ = solve_spmd(
+            params, mesh, cutoff=2, local_backend="xla"
+        )
+        _, hist_p, plan = solve_spmd(
+            params, mesh, cutoff=2, local_backend="pallas"
+        )
+    assert plan.fused_down_levels, (
+        "geometry was chosen to engage the fused down leg"
+    )
+    np.testing.assert_allclose(hist_p, hist_x, rtol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "mode, gamma",
+    [(Mode.LINEAR, 0.0), (Mode.NEWTON, 1.0), (Mode.NONLINEAR, 1.0)],
+    ids=["linear", "newton", "nonlinear"],
+)
+def test_fused_upleg_matches_xla_backend(mode, gamma):
+    """A geometry whose coarse blocks satisfy the fused up-leg gates
+    (coarse lane extent >= 128): the corr-first trapezoid (prolongation +
+    post sweeps in one pass) must reproduce the XLA local-compute
+    history."""
+    params = _params(mode, gamma, maxiter=2).replace(
+        grid_dim=(63, 63, 255)
+    )
+    mesh = make_mesh((2, 1, 1))
+    solver = newton_solve_spmd if mode == Mode.NEWTON else solve_spmd
+    _, hist_x, _ = solver(params, mesh, cutoff=2, local_backend="xla")
+    _, hist_p, plan = solver(
+        params, mesh, cutoff=2, local_backend="pallas"
+    )
+    assert plan.fused_up_levels, (
+        "geometry was chosen to engage the fused up leg"
+    )
+    np.testing.assert_allclose(hist_p, hist_x, rtol=2e-4)
