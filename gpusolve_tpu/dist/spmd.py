@@ -571,7 +571,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         )
         kw = {}
         if restrict:
-            kw = dict(czz=_coarse_zz(l + 1), cnz=plan.dims[l + 1][2])
+            kw = dict(
+                czz=_coarse_zz(l + 1), cnz=plan.dims[l + 1][2],
+                r_cby=plan.block[l + 1][1], r_cny=plan.dims[l + 1][1],
+            )
         outs = pallas_spmd.multi_sweep_block(
             v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
             n_iter, newton_v=aux if has_nv else None,
@@ -858,12 +861,36 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
 
             if _trap_rr_ok(l, pre):
                 # Single streaming pass for the whole down leg: all pre
-                # sweeps + residual + x/z restriction (v,f read once).
-                v, xzr, xzv = _trap_smooth(
+                # sweeps + residual + full x/y/z restriction (v,f read
+                # once; the kernel output is already in the coarse block
+                # layout up to the z lane embed).
+                v, cr, crv = _trap_smooth(
                     l, v, f, aux, pre, restrict=True
                 )
                 sset(l, v=v)
-                _finish_restrict(xzr, xzv)
+                keep_c = _interior_mask(plan, l + 1, dtype)
+                zero_c = jnp.zeros(keep_c.shape, dtype)
+
+                def _embed_z(x3, lc=l + 1):
+                    cbz = plan.block[lc][2]
+                    czz = x3.shape[2]
+                    if czz < cbz:
+                        return jnp.pad(
+                            x3, ((0, 0), (0, 0), (0, cbz - czz))
+                        )
+                    return x3[:, :, :cbz]
+
+                f_next = jnp.where(keep_c, _embed_z(cr), zero_c)
+                if has_rv:
+                    rv = jnp.where(keep_c, _embed_z(crv), zero_c)
+                    av_c = _apply_local(l + 1, rv)
+                    fas = av_c + gamma * rv * jnp.exp(rv)
+                    f_next = jnp.where(
+                        keep_c, f_next + fas, jnp.zeros_like(f_next)
+                    )
+                    sset(l + 1, v=rv, f=f_next, aux=rv)
+                else:
+                    sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
                 continue
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)

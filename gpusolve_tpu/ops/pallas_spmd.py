@@ -521,6 +521,19 @@ def _restrict_z_matrix(zz: int, czz: int, cnz: int, dtype):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
+def _restrict_y_matrix(by: int, cby: int, cny: int, dtype):
+    """(by, cby) full-weighting y factor in padded local coordinates
+    (legal when the y mesh axis is unsplit, so local == padded global):
+    coarse row k reads fine 2k-1..2k+1 (valid k in [1, cny])."""
+    ff = jax.lax.broadcasted_iota(jnp.int32, (by, cby), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (by, cby), 1)
+    d = ff - 2 * cc
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    valid = (cc >= 1) & (cc <= cny)
+    return jnp.where(valid, w, 0.0).astype(dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _res_restrict_call(
     block, zz, czz, cnz, dtype_name, key, h: float, fas: bool,
@@ -892,7 +905,7 @@ def _prolong_pad_matrix(cp_: int, fp: int, fn: int, dtype):
 def _multi_sweep_call(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
     src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
-    interpret: bool,
+    r_cby: int, r_cny: int, interpret: bool,
 ):
     """Trapezoid multi-sweep with optional fused producer/consumers:
 
@@ -904,14 +917,16 @@ def _multi_sweep_call(
       ``corr_geom = (cby, cbz, czp, ny, nz)``.
     * ``consumer='norm'``: Kahan residual sum-of-squares over interior
       planes (the caller completes the two x-edge planes).
-    * ``consumer='restrict'``: post-sweep residual + x/z full-weighting
-      restriction to an (bx/2, by, czz) output — the down leg's coarse-RHS
-      producer without re-streaming v,f.  Unlike residual_restrict_block
-      there is NO r_last shard fix-up: the trapezoid's ghost-zone
-      recompute makes the local r[-1] plane exact (its dependency cone
-      reaches S+2 <= 8 planes into the streamed ghost slab), so coarse
-      plane 0 is complete in-kernel.  FAS additionally restricts the
-      post-sweep v (dual output).
+    * ``consumer='restrict'``: post-sweep residual + FULL x/y/z
+      full-weighting restriction to an (bx/2, r_cby, czz) output — the
+      down leg's complete coarse-RHS producer without re-streaming v,f
+      (y in-kernel is legal because the trapezoid gate already requires
+      the y mesh axis unsplit).  Unlike residual_restrict_block there is
+      NO r_last shard fix-up: the trapezoid's ghost-zone recompute makes
+      the local r[-1] plane exact (its dependency cone reaches S+2 <= 8
+      planes into the streamed ghost slab), so coarse plane 0 is complete
+      in-kernel.  FAS additionally restricts the post-sweep v (dual
+      output).
     """
     stencil_values, stencil_offsets, mode, omega, gamma = key
     taps = tuple(zip(stencil_values, stencil_offsets))
@@ -1135,10 +1150,17 @@ def _multi_sweep_call(
 
         if restrict:
             wz = _restrict_z_matrix(zz, czz, cnz, dtype)
+            wy = _restrict_y_matrix(by, r_cby, r_cny, dtype)
 
             def zc(p2d):
-                return jnp.dot(
+                # full y+z contraction: (by, zz) -> (r_cby, czz)
+                tmp = jnp.dot(
                     p2d, wz, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.dot(
+                    wy.T, tmp.astype(dtype),
+                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 ).astype(dtype)
 
@@ -1375,9 +1397,9 @@ def _multi_sweep_call(
         scratch.append(pltpu.VMEM((16, cby, czp), dtype))  # coarse ring
     if restrict:
         scratch.append(pltpu.VMEM((3, by, zz), dtype))   # residual ring
-        scratch.append(pltpu.VMEM((16, by, czz), dtype))  # cst staging
+        scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst staging
         if fas:
-            scratch.append(pltpu.VMEM((16, by, czz), dtype))  # cst2
+            scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst2
     scratch.append(pltpu.SemaphoreType.DMA((7, 2)))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
@@ -1389,11 +1411,11 @@ def _multi_sweep_call(
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
     if restrict:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        out_shapes.append(jax.ShapeDtypeStruct((cbx, by, czz), dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype))
         if fas:
             out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
             out_shapes.append(
-                jax.ShapeDtypeStruct((cbx, by, czz), dtype)
+                jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype)
             )
 
     return pl.pallas_call(
@@ -1414,6 +1436,7 @@ def multi_sweep_block(
     v, f, xslabs, bounds, params: GridParams, h: float, zz: int,
     n_iter: int, newton_v=None, src_zero: bool = False,
     consumer=None, czz: int = 0, cnz: int = 0,
+    r_cby: int = 0, r_cny: int = 0,
     coarse=None, czp: int = 0, c_ny: int = 0, c_nz: int = 0,
     interpret: bool = False,
 ):
@@ -1441,7 +1464,7 @@ def multi_sweep_block(
     call = _multi_sweep_call(
         (v.shape if not src_zero else f.shape), zz, f.dtype.name,
         _compile_key(params), h, n_iter, src_zero, src_corr, corr_geom,
-        consumer, czz, cnz, interpret,
+        consumer, czz, cnz, r_cby, r_cny, interpret,
     )
     args = []
     if not src_zero:
