@@ -560,10 +560,9 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         return lo, hi
 
     def _trap_smooth(l, v, f, aux, n_iter, with_norm=False,
-                     restrict=False):
-        vlo, vhi = _x_slabs(v)
-        flo, fhi = _x_slabs(f)
-        slabs = [vlo, vhi, flo, fhi]
+                     restrict=False, src_zero=False):
+        slabs = [] if src_zero else list(_x_slabs(v))
+        slabs.extend(_x_slabs(f))
         if has_nv:
             slabs.extend(_x_slabs(aux))
         consumer = (
@@ -577,7 +576,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             )
         outs = pallas_spmd.multi_sweep_block(
             v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
-            n_iter, newton_v=aux if has_nv else None,
+            n_iter, newton_v=aux if has_nv else None, src_zero=src_zero,
             consumer=consumer, interpret=interp, **kw,
         )
         return outs
@@ -863,9 +862,12 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 # Single streaming pass for the whole down leg: all pre
                 # sweeps + residual + full x/y/z restriction (v,f read
                 # once; the kernel output is already in the coarse block
-                # layout up to the z lane embed).
+                # layout up to the z lane embed).  Mid levels start from
+                # v=0 (LINEAR/NEWTON down legs): v is neither streamed
+                # nor exchanged.
                 v, cr, crv = _trap_smooth(
-                    l, v, f, aux, pre, restrict=True
+                    l, v, f, aux, pre, restrict=True,
+                    src_zero=(l > 0 and not has_rv),
                 )
                 sset(l, v=v)
                 keep_c = _interior_mask(plan, l + 1, dtype)

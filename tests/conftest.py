@@ -36,3 +36,42 @@ def cpu_devices():
     import jax
 
     return jax.devices()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The suite JIT-compiles several hundred distinct programs in one
+    process; around the ~120-program mark jaxlib 0.9.0's CPU backend can
+    segfault inside ``backend_compile`` (LLVM JIT code-memory exhaustion —
+    the same compilations succeed in a fresh process).  Dropping the
+    executable caches per module keeps the resident JIT footprint bounded;
+    each module recompiles its own programs anyway."""
+    yield
+    jax.clear_caches()
+
+    # The solver keeps its own AOT-executable cache (the reference-parity
+    # "kernel cache"); drop it too so the freed executables are actually
+    # collectable.
+    try:
+        from gpusolve_tpu.solver import vcycle as _vc
+
+        _vc._compiled_cycles.clear()
+    except Exception:
+        pass
+    try:
+        from gpusolve_tpu.ops import pallas_vcycle2 as _pv2
+
+        _pv2._vcycle2_call.cache_clear()
+    except Exception:
+        pass
+    try:
+        from gpusolve_tpu.ops import pallas_vcycle as _pv
+
+        _pv._vcycle_call.cache_clear()
+    except Exception:
+        pass
+    import gc
+
+    gc.collect()
