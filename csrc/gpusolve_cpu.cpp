@@ -167,35 +167,61 @@ double residual_pass(Hierarchy& H, Level& L, bool write_r) {
     return sumsq;
 }
 
-// Damped Jacobi sweeps; two-pass (residual into r, then update) like the
-// reference (src/cpu/CpuSolver.cpp:141-179) so float behavior matches.
+// Damped Jacobi sweeps — single fused pass per sweep writing a ping-pong
+// buffer (bit-identical to the reference's two-pass residual-then-update
+// structure, src/cpu/CpuSolver.cpp:141-179: Jacobi reads only OLD v, and
+// the per-point expression/rounding order is unchanged; the fusion halves
+// the smoother's memory traffic, which dominates the CPU backend).  The
+// residual scratch r serves as the ping buffer; its value is dead here
+// (every consumer recomputes r after smoothing), and for odd sweep counts
+// the result lands in r and the two vectors swap in O(1).
 void jacobi(Hierarchy& H, Level& L, std::int64_t sweeps) {
     const Config& C = H.cfg;
+    const double inv_h2 = 1.0 / (L.h * L.h);
     const double pre_fac = C.stencil_values[0] / (L.h * L.h);
     const double alpha = (L.h * L.h) / C.stencil_values[0];
     for (std::int64_t it = 0; it < sweeps; ++it) {
-        residual_pass(H, L, /*write_r=*/true);
+        const std::vector<double>& src = (it % 2 == 0) ? L.v : L.r;
+        std::vector<double>& dst = (it % 2 == 0) ? L.r : L.v;
 #pragma omp parallel for collapse(2)
         for (std::int64_t x = 1; x <= L.n[0]; ++x) {
             for (std::int64_t y = 1; y <= L.n[1]; ++y) {
-                double* vc = &L.v[L.at(x, y, 0)];
-                const double* rp = &L.r[L.at(x, y, 0)];
+                const double* fp = &L.f[L.at(x, y, 0)];
+                const double* vc = &src[L.at(x, y, 0)];
                 const double* nv = &L.newton_v[L.at(x, y, 0)];
+                double* out = &dst[L.at(x, y, 0)];
+                const double* tap[7];
+                for (int t = 0; t < 7; ++t)
+                    tap[t] = &src[L.at(x + C.stencil_off[t][0],
+                                       y + C.stencil_off[t][1],
+                                       C.stencil_off[t][2])];
                 for (std::int64_t z = 1; z <= L.n[2]; ++z) {
+                    double acc = 0.0;
+                    for (int t = 0; t < 7; ++t)
+                        acc += C.stencil_values[t] * tap[t][z];
+                    acc *= inv_h2;
+                    if (C.mode == kModeNewton) {
+                        double ex = std::exp(nv[z]);
+                        acc += C.gamma * (1.0 + nv[z]) * vc[z] * ex;
+                    } else if (C.mode == kModeNonlinear) {
+                        acc += C.gamma * vc[z] * std::exp(vc[z]);
+                    }
+                    double rr = fp[z] - acc;
                     if (C.mode == kModeLinear) {
-                        vc[z] += C.omega * (alpha * rp[z]);
+                        out[z] = vc[z] + C.omega * (alpha * rr);
                     } else {
                         double lin_pt =
                             C.mode == kModeNewton ? nv[z] : vc[z];
                         double ex = std::exp(lin_pt);
                         double denom =
                             pre_fac + C.gamma * (1.0 + lin_pt) * ex;
-                        vc[z] += C.omega * (rp[z] / denom);
+                        out[z] = vc[z] + C.omega * (rr / denom);
                     }
                 }
             }
         }
     }
+    if (sweeps % 2 != 0) std::swap(L.v, L.r);
 }
 
 // FAS operator application A(v)/h² + γ v e^v into r
