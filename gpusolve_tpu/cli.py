@@ -85,6 +85,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "is V-only): W recurses twice per level, F recurses F-then-V; "
         "one outer cycle = one stop-test iteration either way",
     )
+    ap.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the solve into DIR "
+        "(view with TensorBoard / xprof; the TPU-native analogue of the "
+        "reference's Timer instrumentation, src/Timer.cpp:13-27)",
+    )
     return ap
 
 
@@ -174,6 +180,8 @@ def main(argv=None) -> int:
                     f"Took {int(cycle_ms[i])}ms"
                 )
     else:
+        import contextlib
+
         from gpusolve_tpu import build_grid, newton_solve, solve
 
         if args.devices:
@@ -183,6 +191,14 @@ def main(argv=None) -> int:
                 kind = getattr(d, "device_kind", "?")
                 print(f"Device [{i}]: {kind} ({d.platform})")
             print(f"Using device [0]")
+
+        profile_cm = contextlib.nullcontext()
+        if args.profile:
+            import jax
+
+            profile_cm = jax.profiler.trace(
+                args.profile, create_perfetto_trace=True
+            )
 
         shardings = None
         if args.mesh:
@@ -255,19 +271,22 @@ def main(argv=None) -> int:
             # recomputed from the resumed state.
             if history0:
                 initial_residual = history0[0]
-        if params.mode == Mode.NEWTON:
-            state, history = newton_solve(
-                state, params, shardings=shardings,
-                initial_residual=initial_residual,
-            )
-            solution = state.levels[0].newton_v
-        else:
-            state, history = solve(
-                state, params, shardings=shardings,
-                initial_residual=initial_residual,
-                check_every=args.check_every,
-            )
-            solution = state.levels[0].v
+        with profile_cm:
+            if params.mode == Mode.NEWTON:
+                state, history = newton_solve(
+                    state, params, shardings=shardings,
+                    initial_residual=initial_residual,
+                )
+                solution = state.levels[0].newton_v
+            else:
+                state, history = solve(
+                    state, params, shardings=shardings,
+                    initial_residual=initial_residual,
+                    check_every=args.check_every,
+                )
+                solution = state.levels[0].v
+        if args.profile:
+            print(f"Wrote profiler trace to {args.profile}")
         combined = history0 + history
         if args.save_state:
             from gpusolve_tpu.utils.checkpoint import save_state

@@ -193,3 +193,35 @@ def test_cli_devices_flag(tmp_path):
     r = run_cli([conf, "--quiet", "--devices"])
     assert r.returncode == 0, r.stderr
     assert "Device [0]:" in r.stdout
+
+
+def test_cli_profile_flag(tmp_path):
+    conf = write_conf(tmp_path, mode=0, maxiter=1, dim=7)
+    trace_dir = str(tmp_path / "trace")
+    r = run_cli([conf, "--quiet", "--profile", trace_dir])
+    assert r.returncode == 0, r.stderr
+    assert "Wrote profiler trace" in r.stdout
+    import os
+
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, "profiler trace directory is empty"
+
+
+def test_cli_cycle_flag(tmp_path):
+    conf = write_conf(tmp_path, mode=0, maxiter=3, dim=15)
+    rv = run_cli([conf, "--cycle", "V"])
+    rw = run_cli([conf, "--cycle", "W"])
+    assert rv.returncode == 0 and rw.returncode == 0
+    import re
+
+    def last_res(out):
+        vals = re.findall(r"residual: ([0-9.eE+-]+)", out)
+        return float(vals[-1])
+
+    # W converges at least as fast per cycle as V on this SPD problem.
+    assert last_res(rw.stdout) <= last_res(rv.stdout) * 1.01
+    # rejected combinations error out cleanly
+    rbad = run_cli([conf, "--cycle", "W", "--backend", "cpu-native"])
+    assert rbad.returncode == 1
