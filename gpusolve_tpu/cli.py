@@ -127,6 +127,14 @@ def main(argv=None) -> int:
         print(str(e), file=sys.stderr)
         return 1
 
+    if args.profile and native:
+        print(
+            "--profile needs a JAX device backend (jax.profiler); the "
+            "cpu-native backend has no trace hooks",
+            file=sys.stderr,
+        )
+        return 1
+
     if args.cycle != "V":
         if native:
             print(
@@ -217,22 +225,25 @@ def main(argv=None) -> int:
                 # path; auto picks Pallas on TPU where geometry allows.
                 lb = args.backend if args.backend in ("xla", "pallas") \
                     else "auto"
-                if params.mode == Mode.NEWTON:
-                    sp_state, history, plan = newton_solve_spmd(
-                        params, mesh, local_backend=lb
-                    )
-                    solution_np = gather_solution(
-                        sp_state, plan, mesh, which=2
-                    )
-                else:
-                    sp_state, history, plan = solve_spmd(
-                        params, mesh, local_backend=lb
-                    )
-                    if params.print_progress:
-                        print(f"Inital residual: {history[0]:.6g}")
-                        for i, res in enumerate(history[1:]):
-                            print(f"iter: {i} residual: {res:.6g}")
-                    solution_np = gather_solution(sp_state, plan, mesh)
+                with profile_cm:
+                    if params.mode == Mode.NEWTON:
+                        sp_state, history, plan = newton_solve_spmd(
+                            params, mesh, local_backend=lb
+                        )
+                        solution_np = gather_solution(
+                            sp_state, plan, mesh, which=2
+                        )
+                    else:
+                        sp_state, history, plan = solve_spmd(
+                            params, mesh, local_backend=lb
+                        )
+                        if params.print_progress:
+                            print(f"Inital residual: {history[0]:.6g}")
+                            for i, res in enumerate(history[1:]):
+                                print(f"iter: {i} residual: {res:.6g}")
+                        solution_np = gather_solution(sp_state, plan, mesh)
+                if args.profile:
+                    print(f"Wrote profiler trace to {args.profile}")
                 if args.dump:
                     from gpusolve_tpu.utils.dump import dump_field
 

@@ -383,6 +383,11 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
     the same compiled executable instead of re-tracing and re-compiling a
     fresh ``jax.jit`` wrapper each time (the analogue of
     solver/vcycle.py's AOT cycle cache)."""
+    if params.cycle_type != "V":
+        raise ValueError(
+            "the explicit spmd engine implements V-cycles only; use the "
+            "gspmd engine (solver.vcycle with shardings) for W/F"
+        )
     key = dataclasses.replace(
         params, maxiter=0, tol=0.0, print_progress=False
     )
@@ -600,6 +605,9 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         cb = plan.block[lc]
         return (
             lc < nd and _trap_ok(lf, n_iter) and 1 <= n_iter <= 4
+            # the kernel's coarse slab ring streams fixed 8-plane DMAs:
+            # 8 | cbx, i.e. 16 | fine bx
+            and plan.block[lf][0] % 16 == 0
             and cb[0] == plan.block[lf][0] // 2 and cb[1] % 8 == 0
             and _coarse_zz(lc) <= cb[2]
         )
@@ -837,18 +845,16 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             v, f = arrs[0], arrs[1]
             aux = aux_of(arrs)
 
-            def _finish_restrict(xzr, xzv, l=l):
-                """y-restrict + embed the kernel's x/z-restricted outputs
-                into the coarse level (shared by both fused paths)."""
+            def _finish_restrict(xr, xv, embed, l=l):
+                """Embed a fused kernel's restricted outputs into the
+                coarse level and apply the FAS tau correction (shared by
+                both fused down paths; ``embed`` maps the kernel output
+                into the coarse block layout)."""
                 keep_c = _interior_mask(plan, l + 1, dtype)
                 zero_c = jnp.zeros(keep_c.shape, dtype)
-                f_next = jnp.where(
-                    keep_c, _y_restrict_embed(xzr, l + 1), zero_c
-                )
+                f_next = jnp.where(keep_c, embed(xr), zero_c)
                 if has_rv:
-                    rv = jnp.where(
-                        keep_c, _y_restrict_embed(xzv, l + 1), zero_c
-                    )
+                    rv = jnp.where(keep_c, embed(xv), zero_c)
                     av_c = _apply_local(l + 1, rv)
                     fas = av_c + gamma * rv * jnp.exp(rv)
                     f_next = jnp.where(
@@ -870,8 +876,6 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     src_zero=(l > 0 and not has_rv),
                 )
                 sset(l, v=v)
-                keep_c = _interior_mask(plan, l + 1, dtype)
-                zero_c = jnp.zeros(keep_c.shape, dtype)
 
                 def _embed_z(x3, lc=l + 1):
                     cbz = plan.block[lc][2]
@@ -882,17 +886,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         )
                     return x3[:, :, :cbz]
 
-                f_next = jnp.where(keep_c, _embed_z(cr), zero_c)
-                if has_rv:
-                    rv = jnp.where(keep_c, _embed_z(crv), zero_c)
-                    av_c = _apply_local(l + 1, rv)
-                    fas = av_c + gamma * rv * jnp.exp(rv)
-                    f_next = jnp.where(
-                        keep_c, f_next + fas, jnp.zeros_like(f_next)
-                    )
-                    sset(l + 1, v=rv, f=f_next, aux=rv)
-                else:
-                    sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
+                _finish_restrict(cr, crv, _embed_z)
                 continue
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)
@@ -906,7 +900,9 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     newton_v=aux if has_nv else None, interpret=interp,
                 )
                 xzr = _fix_x0(xzr, rlast, 0.25)
-                _finish_restrict(xzr, xzv)
+                _finish_restrict(
+                    xzr, xzv, lambda x3, l=l: _y_restrict_embed(x3, l + 1)
+                )
                 continue
             r, _ = _residual(l, v, f, aux, with_norm=False)
             asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape)

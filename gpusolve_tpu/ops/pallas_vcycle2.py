@@ -133,6 +133,19 @@ def _cycle_pass_count(params: GridParams) -> int:
     return n
 
 
+def _n_gen_rings(shapes, mode, pre: int, post: int) -> int:
+    """Generation rings the active schedule needs.  The longest chain's
+    last stage lands in the out staging ring, so rings = max chain length
+    minus one: recompute up legs run pre+corr+post stages; otherwise the
+    deepest chain is a STREAMED coarsest pass (pre+post sweeps) or, with a
+    VMEM-resident coarsest, the write-back up leg (corr + post)."""
+    if _RECOMPUTE_FROM_LEVEL is not None and mode != Mode.NONLINEAR:
+        return max(pre + post, 1)
+    if shapes[-1][0] > _TINY_AX:  # streamed coarsest
+        return max(pre + post - 1, post, 1)
+    return max(pre - 1, post, 1)
+
+
 def _plan_scratch(dims, shapes, zls, mode, pre: int, post: int, itemsize):
     """Mirror of the kernel's VMEM scratch plan: list of element counts.
     Used both to allocate and (in ``supported``) to budget-check."""
@@ -154,7 +167,7 @@ def _plan_scratch(dims, shapes, zls, mode, pre: int, post: int, itemsize):
         yt0, zlt0 = shapes[first_tiny][1], zls[first_tiny]
     else:
         yt0, zlt0 = 8, 128
-    n_gen = max(pre + post, 1)
+    n_gen = _n_gen_rings(shapes, mode, pre, post)
     plan = [
         (16, y0, zl0),  # sv
         (24, y0, zl0),  # sf (3-slot ring: read up to lag len(chain)+1)
@@ -259,10 +272,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     else:
         yt0, zlt0 = 8, 128
 
-    # Intermediate generation rings: the longest stage chain is the
-    # recompute up leg (pre sweeps + prolong-correction + post sweeps); its
-    # last stage lands in the out staging ring, leaving pre+post rings.
-    n_gen = max(pre + post, 1)
+    n_gen = _n_gen_rings(shapes, mode, pre, post)
 
     def kernel(*refs):
         thr_ref = refs[nlev * n_arr]
