@@ -126,3 +126,30 @@ def test_anisotropic_mesh_uneven_dims():
     sstate = shard_state(build_grid(p), shs)
     _, history = solve(sstate, p, shardings=shs)
     np.testing.assert_allclose(history, ref_history, rtol=1e-12)
+
+
+@pytest.mark.parametrize("cycle", ["W", "F"])
+def test_sharded_wf_cycles_match_single_device(cycle):
+    """W/F schedules run sharded through the GSPMD engine (the recursion
+    re-applies the same per-level sharding constraints on every visit)."""
+    p = make_params(Mode.LINEAR, dims=(15, 15, 15)).replace(
+        cycle_type=cycle
+    )
+    _, ref_history = solve(build_grid(p), p)
+
+    mesh = make_mesh((2, 2, 2))
+    shs = level_shardings(p, mesh, coarse_cutoff=2)
+    sstate = shard_state(build_grid(p), shs)
+    _, history = solve(sstate, p, shardings=shs)
+    np.testing.assert_allclose(history, ref_history, rtol=1e-12)
+
+
+def test_spmd_engine_rejects_wf():
+    from gpusolve_tpu.dist.spmd import build_spmd_solver
+
+    p = make_params(Mode.LINEAR, dims=(15, 15, 15)).replace(
+        cycle_type="W", dtype="float32"
+    )
+    mesh = make_mesh((2, 1, 1))
+    with pytest.raises(ValueError, match="V-cycles only"):
+        build_spmd_solver(p, mesh)
