@@ -191,3 +191,18 @@ def test_vcycle2_recompute_schedule_bit_identical(mode, from_level):
     # v must agree everywhere (level-0 exactly; all levels in fact)
     for fw, fr in zip(fields_w, fields_r):
         np.testing.assert_array_equal(np.asarray(fr[0]), np.asarray(fw[0]))
+
+
+def test_vcycle2_anisotropic_dims():
+    # Anisotropic grids exercise per-level dense-z extents and unequal
+    # restrict/prolong factors per axis.
+    p = make_params(Mode.LINEAR, (15, 7, 31))
+    assert pv2.supported(p)
+    state = build_grid(p)
+    _, want = xla_cycles(build_grid(p), p, 2)
+    _, norms = pv2.vcycle2_fused(
+        state.levels, p, max_cycles=2, interpret=True
+    )
+    got = [float(np.sqrt(n)) for n in np.asarray(norms)]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=2e-4)
