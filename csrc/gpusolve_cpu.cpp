@@ -18,6 +18,7 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -49,7 +50,7 @@ struct Level {
     std::int64_t n[3];   // interior dims
     std::int64_t s[3];   // padded strides: s[0] = plane, s[1] = row, s[2] = 1
     double h;
-    std::vector<double> v, f, r, e, rest_v, newton_v;
+    std::vector<double> v, f, r, rest_v, newton_v;
 
     std::int64_t padded() const {
         return (n[0] + 2) * (n[1] + 2) * (n[2] + 2);
@@ -83,7 +84,6 @@ void build_levels(Hierarchy& H) {
         L.r.assign(L.padded(), 0.0);
         L.rest_v.assign(L.padded(), 0.0);
         L.newton_v.assign(L.padded(), 0.0);
-        if (l + 1 != nlev) L.e.assign(L.padded(), 0.0);
     }
 }
 
@@ -175,7 +175,7 @@ double residual_pass(Hierarchy& H, Level& L, bool write_r) {
 // residual scratch r serves as the ping buffer; its value is dead here
 // (every consumer recomputes r after smoothing), and for odd sweep counts
 // the result lands in r and the two vectors swap in O(1).
-void jacobi(Hierarchy& H, Level& L, std::int64_t sweeps) {
+void jacobi_pingpong(Hierarchy& H, Level& L, std::int64_t sweeps) {
     const Config& C = H.cfg;
     const double inv_h2 = 1.0 / (L.h * L.h);
     const double pre_fac = C.stencil_values[0] / (L.h * L.h);
@@ -224,9 +224,175 @@ void jacobi(Hierarchy& H, Level& L, std::int64_t sweeps) {
     if (sweeps % 2 != 0) std::swap(L.v, L.r);
 }
 
-// FAS operator application A(v)/h² + γ v e^v into r
-// (reference: src/cpu/CpuSolver.cpp:182-209).
-void apply_stencil_fas(Hierarchy& H, Level& L, const std::vector<double>& v) {
+// Temporal (trapezoid) blocking of the Jacobi sweeps: ALL S sweeps of a
+// smoothing leg in ONE streaming pass — the host-side counterpart of the
+// TPU backend's communication-avoiding trapezoid kernel
+// (gpusolve_tpu/ops/pallas_spmd.multi_sweep_block).  Memory traffic per leg
+// drops from S·(read v,f + write v) to ~1·(read v,f + write v): sweep s's
+// planes live in small per-tile ring strips that stay cache-resident.
+//
+// Bit-identical to jacobi_pingpong: Jacobi reads only the previous sweep's
+// values, the per-point expression/rounding order is byte-for-byte the same
+// loop body, and tile-boundary ghost generations are *recomputed* (the same
+// arithmetic on the same inputs), never approximated.
+//
+// Geometry: tiles over (x, y); sweep s (1-based) is computed on the tile
+// grown by (S−s) cells in x and y (clamped to the interior) so the final
+// sweep exactly covers the tile.  Ring strips hold 3 x-planes per
+// intermediate sweep, each (tile_y + 2S + 2) rows tall with permanent-zero
+// z/y halo rows; x-planes outside the interior read a shared zero strip —
+// identical to the padded arrays' zero Dirichlet halo.
+void jacobi_fused(Hierarchy& H, Level& L, std::int64_t S) {
+    const Config& C = H.cfg;
+    const double inv_h2 = 1.0 / (L.h * L.h);
+    const double pre_fac = C.stencil_values[0] / (L.h * L.h);
+    const double alpha = (L.h * L.h) / C.stencil_values[0];
+    const std::int64_t nx = L.n[0], ny = L.n[1], nz = L.n[2];
+    const std::int64_t zrow = nz + 2;
+
+    // Strip height sized so one strip is ~128 KB (L2-resident working set:
+    // 3(S-1) ring strips + the v/f windows).
+    std::int64_t hmax = std::max<std::int64_t>(2 * S + 3, 16384 / zrow);
+    std::int64_t yb =
+        std::min<std::int64_t>(ny, std::max<std::int64_t>(4, hmax - 2 * S - 2));
+    std::int64_t nyb = (ny + yb - 1) / yb;
+#if defined(_OPENMP)
+    int nth = omp_get_max_threads();
+#else
+    int nth = 1;
+#endif
+    std::int64_t xb = std::max<std::int64_t>(
+        4 * S, (nx + (std::int64_t)nth - 1) / (std::int64_t)nth);
+    std::int64_t nxb = (nx + xb - 1) / xb;
+    const std::int64_t ntiles = nxb * nyb;
+
+#pragma omp parallel
+    {
+        std::vector<double> ring;
+        std::vector<double> zstrip;
+#pragma omp for schedule(dynamic)
+        for (std::int64_t tile = 0; tile < ntiles; ++tile) {
+            const std::int64_t bx0 = 1 + (tile / nyb) * xb;
+            const std::int64_t bx1 = std::min(nx + 1, bx0 + xb);
+            const std::int64_t by0 = 1 + (tile % nyb) * yb;
+            const std::int64_t by1 = std::min(ny + 1, by0 + yb);
+            const std::int64_t ybase = by0 - S - 1;
+            const std::int64_t hs = (by1 - by0) + 2 * S + 2;
+            const std::int64_t strip_sz = hs * zrow;
+            ring.assign((std::size_t)((S - 1) * 3 * strip_sz), 0.0);
+            zstrip.assign((std::size_t)strip_sz, 0.0);
+
+            auto strip = [&](std::int64_t s, std::int64_t x) {
+                return &ring[(std::size_t)(((s - 1) * 3 + (x % 3 + 3) % 3) *
+                                           strip_sz)];
+            };
+            auto plane_of = [&](std::int64_t s,
+                                std::int64_t x) -> const double* {
+                if (x < 1 || x > nx) return zstrip.data();
+                return strip(s, x);
+            };
+            auto xrange = [&](std::int64_t s) {
+                const std::int64_t g = S - s;
+                return std::pair<std::int64_t, std::int64_t>(
+                    std::max<std::int64_t>(1, bx0 - g),
+                    std::min<std::int64_t>(nx, bx1 - 1 + g));
+            };
+            auto yrange = [&](std::int64_t s) {
+                const std::int64_t g = S - s;
+                return std::pair<std::int64_t, std::int64_t>(
+                    std::max<std::int64_t>(1, by0 - g),
+                    std::min<std::int64_t>(ny, by1 - 1 + g));
+            };
+
+            auto compute = [&](std::int64_t s, std::int64_t xs) {
+                const auto yr = yrange(s);
+                for (std::int64_t y = yr.first; y <= yr.second; ++y) {
+                    const double* fp = &L.f[L.at(xs, y, 0)];
+                    const double* nv = &L.newton_v[L.at(xs, y, 0)];
+                    const double* tap[7];
+                    const double* vc;
+                    if (s == 1) {
+                        for (int t = 0; t < 7; ++t)
+                            tap[t] = &L.v[L.at(xs + C.stencil_off[t][0],
+                                               y + C.stencil_off[t][1],
+                                               C.stencil_off[t][2])];
+                        vc = &L.v[L.at(xs, y, 0)];
+                    } else {
+                        for (int t = 0; t < 7; ++t)
+                            tap[t] = plane_of(s - 1,
+                                              xs + C.stencil_off[t][0]) +
+                                     (y + C.stencil_off[t][1] - ybase) *
+                                         zrow +
+                                     C.stencil_off[t][2];
+                        vc = plane_of(s - 1, xs) + (y - ybase) * zrow;
+                    }
+                    double* out = s == S ? &L.r[L.at(xs, y, 0)]
+                                         : strip(s, xs) + (y - ybase) * zrow;
+                    for (std::int64_t z = 1; z <= nz; ++z) {
+                        double acc = 0.0;
+                        for (int t = 0; t < 7; ++t)
+                            acc += C.stencil_values[t] * tap[t][z];
+                        acc *= inv_h2;
+                        if (C.mode == kModeNewton) {
+                            double ex = std::exp(nv[z]);
+                            acc += C.gamma * (1.0 + nv[z]) * vc[z] * ex;
+                        } else if (C.mode == kModeNonlinear) {
+                            acc += C.gamma * vc[z] * std::exp(vc[z]);
+                        }
+                        double rr = fp[z] - acc;
+                        if (C.mode == kModeLinear) {
+                            out[z] = vc[z] + C.omega * (alpha * rr);
+                        } else {
+                            double lin_pt =
+                                C.mode == kModeNewton ? nv[z] : vc[z];
+                            double ex = std::exp(lin_pt);
+                            double denom =
+                                pre_fac + C.gamma * (1.0 + lin_pt) * ex;
+                            out[z] = vc[z] + C.omega * (rr / denom);
+                        }
+                    }
+                }
+            };
+
+            const auto x1r = xrange(1);
+            for (std::int64_t x = x1r.first; x <= x1r.second + S - 1; ++x) {
+                for (std::int64_t s = 1; s <= S; ++s) {
+                    const std::int64_t xs = x - (s - 1);
+                    const auto xr = xrange(s);
+                    if (xs >= xr.first && xs <= xr.second) compute(s, xs);
+                }
+            }
+        }
+    }
+    // The final sweep landed in the scratch buffer; swap it in (values are
+    // identical to the ping-pong path's, only the buffer identity differs).
+    std::swap(L.v, L.r);
+}
+
+bool fuse_disabled() {
+    static const bool off = std::getenv("GPUSOLVE_CPU_NO_FUSE") != nullptr;
+    return off;
+}
+
+void jacobi(Hierarchy& H, Level& L, std::int64_t sweeps) {
+    // The fused pass pays ghost recompute 2(S-1) planes/rows per tile edge;
+    // profitable for multi-sweep legs on levels with enough extent.
+    // GPUSOLVE_CPU_NO_FUSE=1 forces the ping-pong path (bit-identity is
+    // asserted by tests/test_cpu_native.py).
+    if (!fuse_disabled() && sweeps >= 2 && sweeps <= 6 &&
+        L.n[0] >= 4 * sweeps && L.n[1] >= 4 && L.n[2] >= 16) {
+        jacobi_fused(H, L, sweeps);
+    } else {
+        jacobi_pingpong(H, L, sweeps);
+    }
+}
+
+// FAS tau correction: f += A(v)/h² + γ v e^v over the interior — the
+// operator application (reference: src/cpu/CpuSolver.cpp:182-209) fused
+// with the `f += r` consumer (src/cpu/CpuSolver.cpp:110-112); identical
+// rounding (the materialised r was exact) with no r round-trip.
+void apply_stencil_fas_add(Hierarchy& H, Level& L,
+                           const std::vector<double>& v) {
     const Config& C = H.cfg;
     const double inv_h2 = 1.0 / (L.h * L.h);
 #pragma omp parallel for collapse(2)
@@ -238,12 +404,12 @@ void apply_stencil_fas(Hierarchy& H, Level& L, const std::vector<double>& v) {
                                  y + C.stencil_off[t][1],
                                  C.stencil_off[t][2])];
             const double* vc = &v[L.at(x, y, 0)];
-            double* rp = &L.r[L.at(x, y, 0)];
+            double* fp = &L.f[L.at(x, y, 0)];
             for (std::int64_t z = 1; z <= L.n[2]; ++z) {
                 double acc = 0.0;
                 for (int t = 0; t < 7; ++t)
                     acc += C.stencil_values[t] * tap[t][z];
-                rp[z] = acc * inv_h2 + C.gamma * vc[z] * std::exp(vc[z]);
+                fp[z] += acc * inv_h2 + C.gamma * vc[z] * std::exp(vc[z]);
             }
         }
     }
@@ -276,52 +442,40 @@ void restrict_fw(const Level& LF, const std::vector<double>& fine,
     }
 }
 
-// Trilinear prolongation of LC.v onto LF.e — the unified per-axis formula
-// e[p] = 0.5·(R[p+1] + R[p+2]) with R = element-repeat(coarse, 2), which
-// equals the reference's 4-pass scheme (src/cpu/CpuSolver.cpp:240-290) with
-// zero Dirichlet halos.  Expressed directly: fine padded index m even ->
-// coarse[m/2]; m odd -> (coarse[(m-1)/2] + coarse[(m+1)/2]) / 2.
-void prolongate(const Level& LC, Level& LF) {
-    auto cval = [&](std::int64_t cx, std::int64_t cy, std::int64_t cz) {
-        // coarse padded bounds: values outside are the zero halo
-        if (cx > LC.n[0] + 1 || cy > LC.n[1] + 1 || cz > LC.n[2] + 1)
-            return 0.0;
-        return LC.v[LC.at(cx, cy, cz)];
-    };
+// Trilinear prolongation of LC.v added directly onto LF.v — the unified
+// per-axis formula e[p] = 0.5·(R[p+1] + R[p+2]) with
+// R = element-repeat(coarse, 2), which equals the reference's 4-pass scheme
+// (src/cpu/CpuSolver.cpp:240-290) with zero Dirichlet halos; fused with the
+// `v += e` consumer (src/cpu/CpuSolver.cpp:130-132), eliminating the
+// materialised correction field entirely (one read + one write of fine v
+// instead of write e, read v+e, write v).  Bit-identical: the stored e was
+// the exact value added, and e is zero outside the interior (every tap
+// resolves to the zero coarse halo there), so interior-only adds suffice.
+// Expressed directly: fine padded index m even -> coarse[m/2]; m odd ->
+// (coarse[(m-1)/2] + coarse[(m+1)/2]) / 2.
+void prolongate_add(const Level& LC, Level& LF) {
 #pragma omp parallel for
-    for (std::int64_t x = 0; x <= LF.n[0] + 1; ++x) {
+    for (std::int64_t x = 1; x <= LF.n[0]; ++x) {
         const bool xe = (x % 2) == 0;
-        for (std::int64_t y = 0; y <= LF.n[1] + 1; ++y) {
+        for (std::int64_t y = 1; y <= LF.n[1]; ++y) {
             const bool ye = (y % 2) == 0;
-            double* erow = &LF.e[LF.at(x, y, 0)];
-            for (std::int64_t z = 0; z <= LF.n[2] + 1; ++z) {
+            double* vrow = &LF.v[LF.at(x, y, 0)];
+            for (std::int64_t z = 1; z <= LF.n[2]; ++z) {
                 const bool ze = (z % 2) == 0;
                 double acc = 0.0;
                 for (int dx = xe ? 0 : -1; dx <= (xe ? 0 : 1); dx += 2)
                     for (int dy = ye ? 0 : -1; dy <= (ye ? 0 : 1); dy += 2)
                         for (int dz = ze ? 0 : -1; dz <= (ze ? 0 : 1);
                              dz += 2)
-                            acc += cval((x + dx) / 2, (y + dy) / 2,
-                                        (z + dz) / 2);
+                            acc += LC.v[LC.at((x + dx) / 2, (y + dy) / 2,
+                                              (z + dz) / 2)];
                 double w = 1.0;
                 if (!xe) w *= 0.5;
                 if (!ye) w *= 0.5;
                 if (!ze) w *= 0.5;
-                erow[z] = acc * w;
+                vrow[z] += acc * w;
             }
         }
-    }
-    // Upper halo planes stay zero, matching the reference's 4-pass scheme
-    // (for odd interior dims the formula already yields zero there; for even
-    // dims the reference never writes those sites — force them to zero).
-    for (std::int64_t y = 0; y <= LF.n[1] + 1; ++y)
-        std::memset(&LF.e[LF.at(LF.n[0] + 1, y, 0)], 0,
-                    sizeof(double) * (LF.n[2] + 2));
-    for (std::int64_t x = 0; x <= LF.n[0] + 1; ++x) {
-        std::memset(&LF.e[LF.at(x, LF.n[1] + 1, 0)], 0,
-                    sizeof(double) * (LF.n[2] + 2));
-        for (std::int64_t y = 0; y <= LF.n[1] + 1; ++y)
-            LF.e[LF.at(x, y, LF.n[2] + 1)] = 0.0;
     }
 }
 
@@ -340,22 +494,24 @@ double vcycle(Hierarchy& H) {
         } else {
             restrict_fw(L, L.v, N, N.rest_v);
             N.v = N.rest_v;
-            apply_stencil_fas(H, N, N.rest_v);
-            for (std::int64_t i = 0; i < N.padded(); ++i) N.f[i] += N.r[i];
+            apply_stencil_fas_add(H, N, N.rest_v);
         }
     }
     jacobi(H, H.levels[nlev - 1], C.pre_smooth + C.post_smooth);
     for (int l = nlev - 1; l > 0; --l) {
         Level& L = H.levels[l];
         Level& P = H.levels[l - 1];
-        if (fas)
-            for (std::int64_t i = 0; i < L.padded(); ++i)
-                L.v[i] -= L.rest_v[i];
-        prolongate(L, P);
-        for (std::int64_t i = 0; i < P.padded(); ++i) P.v[i] += P.e[i];
+        if (fas) {
+            const std::int64_t np = L.padded();
+#pragma omp parallel for
+            for (std::int64_t i = 0; i < np; ++i) L.v[i] -= L.rest_v[i];
+        }
+        prolongate_add(L, P);
         jacobi(H, P, C.post_smooth);
     }
-    return std::sqrt(residual_pass(H, H.levels[0], true));
+    // The final residual's field is dead (the next consumer of r is the
+    // smoother's ping buffer, written before read) — norm only.
+    return std::sqrt(residual_pass(H, H.levels[0], false));
 }
 
 // Linear/FAS solve loop (reference: src/cpu/CpuSolver.cpp:12-43).

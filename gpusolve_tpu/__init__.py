@@ -31,6 +31,7 @@ from gpusolve_tpu.config import (
 from gpusolve_tpu.grid import GridLevel, GridState, build_grid
 from gpusolve_tpu.solver.vcycle import solve, vcycle
 from gpusolve_tpu.solver.newton import newton_solve
+from gpusolve_tpu.solver.refine import solve_refine
 
 __version__ = "0.1.0"
 
@@ -46,4 +47,5 @@ __all__ = [
     "solve",
     "vcycle",
     "newton_solve",
+    "solve_refine",
 ]

@@ -12,6 +12,9 @@ TPU-native extensions beyond the reference surface (flags, all optional):
   --backend {auto,xla,pallas} op backend selection
   --mesh X,Y,Z                3-D device mesh for multi-chip domain
                               decomposition (default: single device)
+  --refine                    mixed-precision iterative refinement: f64
+                              residual accuracy at f32 multigrid speed
+                              (solver/refine.py)
   --dump PATH                 write the final solution in Vector3::dump text
                               format (src/cpu/Vector3.cpp:56-78)
   --validate                  print max-abs error vs the analytic solution
@@ -86,6 +89,18 @@ def build_argparser() -> argparse.ArgumentParser:
         "one outer cycle = one stop-test iteration either way",
     )
     ap.add_argument(
+        "--refine", action="store_true",
+        help="mixed-precision iterative refinement: f64-accurate solves at "
+        "f32 multigrid speed (f64 outer defect + f32 V-cycle corrections; "
+        "see solver/refine.py). tol is the f64 relative-residual target, "
+        "maxiter the outer-step limit",
+    )
+    ap.add_argument(
+        "--refine-inner-tol", type=float, default=1e-3, metavar="T",
+        help="relative tolerance of each inner f32 multigrid solve under "
+        "--refine (values below ~kappa(A)*eps_f32 buy nothing)",
+    )
+    ap.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the solve into DIR "
         "(view with TensorBoard / xprof; the TPU-native analogue of the "
@@ -105,7 +120,23 @@ def main(argv=None) -> int:
         return 1
 
     native = args.backend == "cpu-native"
-    if args.dtype == "float64" and not native:
+    if args.refine:
+        incompat = [
+            ("--dtype float64", args.dtype == "float64"),
+            ("--backend cpu-native", native),
+            ("--mesh", bool(args.mesh)),
+            ("--save-state/--load-state",
+             bool(args.save_state or args.load_state)),
+        ]
+        bad = [name for name, hit in incompat if hit]
+        if bad:
+            print(
+                f"--refine is incompatible with {', '.join(bad)} "
+                "(single-device f32 inner solves with an f64 outer defect)",
+                file=sys.stderr,
+            )
+            return 1
+    if (args.dtype == "float64" or args.refine) and not native:
         import jax
 
         jax.config.update("jax_enable_x64", True)
@@ -207,6 +238,28 @@ def main(argv=None) -> int:
             profile_cm = jax.profiler.trace(
                 args.profile, create_perfetto_trace=True
             )
+
+        if args.refine:
+            from gpusolve_tpu.solver.refine import solve_refine
+
+            with profile_cm:
+                u, history = solve_refine(
+                    params, inner_tol=args.refine_inner_tol
+                )
+            if args.profile:
+                print(f"Wrote profiler trace to {args.profile}")
+            nx, ny, nz = params.grid_dim
+            solution = np.asarray(u)[: nx + 2, : ny + 2, : nz + 2]
+            if args.dump:
+                dump_field(solution, args.dump)
+                print(f"Dumped solution to {args.dump}")
+            if args.validate:
+                if params.mode == Mode.LINEAR:
+                    print("--validate only applies to nonlinear/newton modes")
+                else:
+                    err = compare_analytic(solution, params.h)
+                    print(f"max-abs error vs analytic solution: {err:.6g}")
+            return 0
 
         shardings = None
         if args.mesh:

@@ -78,3 +78,47 @@ def test_native_early_stop():
 
 def test_native_threads_reported():
     assert cpu_native.num_threads() >= 1
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [Mode.LINEAR, Mode.NONLINEAR, Mode.NEWTON],
+    ids=["linear", "nonlinear", "newton"],
+)
+def test_fused_smoother_bit_identical(mode, tmp_path):
+    """The temporal-blocked (trapezoid) smoother must be BIT-identical to
+    the ping-pong path: Jacobi reads only the previous sweep's values and
+    the per-point expression is the same loop body, so the fusion may not
+    change a single ulp.  GPUSOLVE_CPU_NO_FUSE picks the path (read once
+    per process, hence the subprocess)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    p = make_params(mode, dims=(31, 31, 31), maxiter=3)
+    sol_fused, hist_fused = cpu_native.solve_native(p)
+
+    out = tmp_path / "nofuse.pkl"
+    code = (
+        "import pickle, sys\n"
+        "sys.path.insert(0, sys.argv[1]); sys.path.insert(0, sys.argv[2])\n"
+        "from gpusolve_tpu import cpu_native\n"
+        "from test_cpu_native import make_params\n"
+        "from gpusolve_tpu.config import Mode\n"
+        f"p = make_params(Mode({int(mode)}), dims=(31, 31, 31), maxiter=3)\n"
+        "sol, hist = cpu_native.solve_native(p)\n"
+        "pickle.dump((sol, hist), open(sys.argv[3], 'wb'))\n"
+    )
+    env = dict(os.environ)
+    env["GPUSOLVE_CPU_NO_FUSE"] = "1"
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_dir = os.path.dirname(tests_dir)
+    r = subprocess.run(
+        [sys.executable, "-c", code, repo_dir, tests_dir, str(out)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    sol_ref, hist_ref = pickle.loads(out.read_bytes())
+    assert hist_fused == hist_ref
+    np.testing.assert_array_equal(sol_fused, sol_ref)
