@@ -57,6 +57,10 @@ def main() -> None:
                     help="per-shard extent below which levels replicate")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force CPU backend with N virtual devices")
+    ap.add_argument("--halo", choices=["ppermute", "rdma"],
+                    default="ppermute",
+                    help="x-face slab exchange: XLA ppermute collectives or "
+                    "in-kernel remote DMAs (ops/pallas_spmd.rdma_exchange)")
     args = ap.parse_args()
 
     mesh_shape = tuple(int(s) for s in args.mesh.split(","))
@@ -113,18 +117,21 @@ def main() -> None:
     # Warm-up run compiles everything (and absorbs the tunnel's first-fetch
     # stall on the axon TPU).
     warm = params.replace(maxiter=1)
-    state, _, plan = solve_spmd(warm, mesh, cutoff=args.cutoff)
+    state, _, plan = solve_spmd(
+        warm, mesh, cutoff=args.cutoff, halo=args.halo
+    )
 
     ck = args.check_every or args.cycles
     if ck > 1:  # pre-compile the batched dispatch outside the timed region
         solve_spmd(
             params.replace(maxiter=ck), mesh, cutoff=args.cutoff,
             state=state, plan=plan, initial_residual=1.0, check_every=ck,
+            halo=args.halo,
         )
     t0 = time.perf_counter()
     _, history, _ = solve_spmd(
         params, mesh, cutoff=args.cutoff, state=state, plan=plan,
-        initial_residual=1.0, check_every=ck,
+        initial_residual=1.0, check_every=ck, halo=args.halo,
     )
     dt = time.perf_counter() - t0
     per_cycle = dt / args.cycles
@@ -148,6 +155,7 @@ def main() -> None:
         "check_every": ck,
         "final_residual": history[-1] if history else None,
         "backend": jax.default_backend(),
+        "halo": args.halo,
         "peak_hbm_gbps_per_chip": peak,
         "processes": jax.process_count(),
     }))

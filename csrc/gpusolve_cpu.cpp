@@ -250,9 +250,14 @@ void jacobi_fused(Hierarchy& H, Level& L, std::int64_t S) {
     const std::int64_t nx = L.n[0], ny = L.n[1], nz = L.n[2];
     const std::int64_t zrow = nz + 2;
 
-    // Strip height sized so one strip is ~128 KB (L2-resident working set:
-    // 3(S-1) ring strips + the v/f windows).
-    std::int64_t hmax = std::max<std::int64_t>(2 * S + 3, 16384 / zrow);
+    // Strip height sized so one strip is ~STRIP_KB (working set: 3(S-1)
+    // ring strips + the streaming v/f windows must stay cache-resident).
+    static const std::int64_t strip_kb = [] {
+        const char* e = std::getenv("GPUSOLVE_CPU_STRIP_KB");
+        return e ? std::atoll(e) : 32;
+    }();
+    std::int64_t hmax =
+        std::max<std::int64_t>(2 * S + 3, strip_kb * 128 / zrow);
     std::int64_t yb =
         std::min<std::int64_t>(ny, std::max<std::int64_t>(4, hmax - 2 * S - 2));
     std::int64_t nyb = (ny + yb - 1) / yb;

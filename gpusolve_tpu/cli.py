@@ -89,6 +89,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "one outer cycle = one stop-test iteration either way",
     )
     ap.add_argument(
+        "--halo", choices=["ppermute", "rdma"], default="ppermute",
+        help="with --dist-engine spmd: x-face slab exchange via XLA "
+        "ppermute collectives or in-kernel remote DMAs "
+        "(ops/pallas_spmd.rdma_exchange — pod-scale mega-kernel "
+        "groundwork)",
+    )
+    ap.add_argument(
         "--refine", action="store_true",
         help="mixed-precision iterative refinement: f64-accurate solves at "
         "f32 multigrid speed (f64 outer defect + f32 V-cycle corrections; "
@@ -281,14 +288,14 @@ def main(argv=None) -> int:
                 with profile_cm:
                     if params.mode == Mode.NEWTON:
                         sp_state, history, plan = newton_solve_spmd(
-                            params, mesh, local_backend=lb
+                            params, mesh, local_backend=lb, halo=args.halo
                         )
                         solution_np = gather_solution(
                             sp_state, plan, mesh, which=2
                         )
                     else:
                         sp_state, history, plan = solve_spmd(
-                            params, mesh, local_backend=lb
+                            params, mesh, local_backend=lb, halo=args.halo
                         )
                         if params.print_progress:
                             print(f"Inital residual: {history[0]:.6g}")

@@ -64,6 +64,10 @@ def _load():
     os.makedirs(build_dir, exist_ok=True)
     so_path = os.path.join(build_dir, f"libgpusolve_cpu_{tag}.so")
     if not os.path.exists(so_path):
+        # Per-PID temp + atomic rename: concurrent processes (e.g. a test
+        # subprocess racing its parent on a fresh source hash) must never
+        # interleave writes into one temp file.
+        tmp = f"{so_path}.{os.getpid()}.tmp"
         cmd = [
             "g++",
             "-O3",
@@ -74,10 +78,10 @@ def _load():
             "-fPIC",
             _CSRC,
             "-o",
-            so_path + ".tmp",
+            tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so_path + ".tmp", so_path)
+        os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
     lib.gpusolve_cpu_solve.restype = ctypes.c_int64
     lib.gpusolve_cpu_solve.argtypes = [

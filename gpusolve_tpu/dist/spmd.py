@@ -374,7 +374,7 @@ def _slice_coarse_for_shard(coarse_repl, plan: SpmdPlan, lf: int):
 
 
 def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
-                      local_backend: str = "auto"):
+                      local_backend: str = "auto", halo: str = "ppermute"):
     """Construct ``(init_fn, cycle_fn, plan)`` — cached.
 
     The traced cycle does not read maxiter/tol/print_progress, so those are
@@ -382,21 +382,28 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
     timed run, the Newton driver's per-outer-iteration inner solves) reuse
     the same compiled executable instead of re-tracing and re-compiling a
     fresh ``jax.jit`` wrapper each time (the analogue of
-    solver/vcycle.py's AOT cycle cache)."""
+    solver/vcycle.py's AOT cycle cache).
+
+    ``halo``: "ppermute" (XLA collectives) or "rdma" — the per-leg x-face
+    slab exchange of the trapezoid paths runs as in-kernel remote DMAs
+    (ops/pallas_spmd.rdma_exchange, pod-scale mega-kernel groundwork); the
+    non-trapezoid fallback paths keep ppermute either way."""
     if params.cycle_type != "V":
         raise ValueError(
             "the explicit spmd engine implements V-cycles only; use the "
             "gspmd engine (solver.vcycle with shardings) for W/F"
         )
+    if halo not in ("ppermute", "rdma"):
+        raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
     key = dataclasses.replace(
         params, maxiter=0, tol=0.0, print_progress=False
     )
-    return _build_spmd_solver(key, mesh, cutoff, local_backend)
+    return _build_spmd_solver(key, mesh, cutoff, local_backend, halo)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
-                       local_backend: str):
+                       local_backend: str, halo: str = "ppermute"):
     """Uncached body of ``build_spmd_solver``.
 
     State layout: a flat tuple with ``n_arr`` arrays per level — [v, f] for
@@ -564,12 +571,34 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             hi = lo
         return lo, hi
 
+    use_rdma = halo == "rdma"
+
+    def _xidx():
+        return lax.axis_index("x").astype(jnp.int32).reshape(1, 1)
+
+    def _slabs_multi(fields, zz_lane):
+        """8-plane x-face slabs for same-shape fields, in slab-pair order
+        ``[lo0, hi0, lo1, hi1, ...]``: one in-kernel RDMA pallas call
+        (halo='rdma' — ops/pallas_spmd.rdma_exchange) or per-field XLA
+        ppermute pairs.  The RDMA slabs carry the ``zz_lane`` lane extent
+        (all the consumer reads); the ppermute ones the full allocation —
+        the trapezoid kernel slices ``:zz`` off either."""
+        if use_rdma:
+            return pallas_spmd.rdma_exchange(
+                fields, _xidx(), pallas_spmd._GH, zz_lane,
+                plan.mesh_shape[0], interpret=interp,
+            )
+        out = []
+        for u in fields:
+            out.extend(_x_slabs(u))
+        return out
+
     def _trap_smooth(l, v, f, aux, n_iter, with_norm=False,
                      restrict=False, src_zero=False):
-        slabs = [] if src_zero else list(_x_slabs(v))
-        slabs.extend(_x_slabs(f))
+        fields = ([] if src_zero else [v]) + [f]
         if has_nv:
-            slabs.extend(_x_slabs(aux))
+            fields.append(aux)
+        slabs = _slabs_multi(fields, zzs[l])
         consumer = (
             "norm" if with_norm else ("restrict" if restrict else None)
         )
@@ -1022,12 +1051,11 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     # prolongation + correction add + all post sweeps
                     # (+ the finest level's residual norm).
                     vcc = _clean(l, vc)
-                    clo, chi = _x_slabs(vcc)
-                    vlo, vhi = _x_slabs(vf)
-                    flo, fhi = _x_slabs(ff)
-                    slabs = [vlo, vhi, flo, fhi]
+                    clo, chi = _slabs_multi([vcc], _coarse_zz(l))
+                    fields = [vf, ff]
                     if has_nv:
-                        slabs.extend(_x_slabs(aux_f))
+                        fields.append(aux_f)
+                    slabs = _slabs_multi(fields, zzs[l - 1])
                     consumer = "norm" if l - 1 == 0 else None
                     outs = pallas_spmd.multi_sweep_block(
                         vf, ff, tuple(slabs), _bounds_arr(l - 1),
@@ -1201,12 +1229,14 @@ def gather_solution(state, plan: SpmdPlan, mesh: Mesh,
 
 @functools.lru_cache(maxsize=32)
 def _k_cycle_fn(params: GridParams, mesh: Mesh, cutoff: int,
-                local_backend: str, k: int):
+                local_backend: str, k: int, halo: str = "ppermute"):
     """``k`` V-cycles per dispatch via ``lax.scan`` (amortises the
     per-launch/per-fetch overhead that dominates through the tunnel and on
     small grids — the spmd analogue of the mega-kernel's multi-cycle
     launches)."""
-    _, cycle_fn, _ = _build_spmd_solver(params, mesh, cutoff, local_backend)
+    _, cycle_fn, _ = _build_spmd_solver(
+        params, mesh, cutoff, local_backend, halo
+    )
 
     def k_cycles(*state):
         def body(st, _):
@@ -1225,6 +1255,7 @@ def solve_spmd(
     initial_residual: Optional[float] = None,
     local_backend: str = "auto",
     check_every: int = 1,
+    halo: str = "ppermute",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Full explicit-halo SPMD solve, any mode.  Returns
     ``(final_state, residual_history, plan)`` — the history is comparable
@@ -1236,7 +1267,7 @@ def solve_spmd(
     threshold (parity mode is k=1, like the reference's per-cycle check).
     """
     init_fn, cycle_fn, plan_ = build_spmd_solver(
-        params, mesh, cutoff, local_backend
+        params, mesh, cutoff, local_backend, halo
     )
     plan = plan or plan_
     if state is None:
@@ -1261,7 +1292,7 @@ def solve_spmd(
         key = dataclasses.replace(
             params, maxiter=0, tol=0.0, print_progress=False
         )
-        kfn = _k_cycle_fn(key, mesh, cutoff, local_backend, k)
+        kfn = _k_cycle_fn(key, mesh, cutoff, local_backend, k, halo)
     done = 0
     thr = None  # initial / (1/tol), computed lazily (initial may be 0)
     while done < params.maxiter:
@@ -1391,6 +1422,7 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
 def newton_solve_spmd(
     params: GridParams, mesh: Mesh, cutoff: int = 4,
     local_backend: str = "auto",
+    halo: str = "ppermute",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -1401,7 +1433,7 @@ def newton_solve_spmd(
     sharded state whose newton_v holds the solution."""
     assert params.mode == Mode.NEWTON
     init_fn, cycle_fn, plan = build_spmd_solver(
-        params, mesh, cutoff, local_backend
+        params, mesh, cutoff, local_backend, halo
     )
     comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
         params, mesh, plan
@@ -1441,6 +1473,7 @@ def newton_solve_spmd(
         st, _, _ = solve_spmd(
             inner, mesh, cutoff, state=tuple(state), plan=plan,
             initial_residual=None, local_backend=local_backend,
+            halo=halo,
         )
         state = list(st)
         state[2] = update_nv_fn(state[2], state[0])

@@ -1432,6 +1432,167 @@ def _multi_sweep_call(
     )
 
 
+# ---------------------------------------------------------------------------
+# In-kernel RDMA halo exchange (pod-scale mega-kernel groundwork)
+# ---------------------------------------------------------------------------
+#
+# Replaces the per-leg XLA ``lax.ppermute`` slab exchange with ONE Pallas
+# kernel in which every shard remote-writes its x-face slabs directly into
+# its neighbours' receive buffers (``pltpu.make_async_remote_copy`` — the
+# TPU's ICI RDMA).  Protocol per invocation:
+#
+#   1. neighbour barrier: signal each existing x neighbour's REGULAR
+#      semaphore, wait for as many signals (bounds cross-invocation skew:
+#      a shard may not RDMA into buffers of an invocation its neighbour
+#      has not reached — the standard Pallas collective prologue);
+#   2. send my plane slab [0, gh) to the left neighbour's ``hi`` receive
+#      buffer and [bx-gh, bx) to the right neighbour's ``lo`` buffer, all
+#      fields in flight concurrently on per-field DMA semaphore pairs;
+#   3. shards at the global edge zero-fill the missing slab (the Dirichlet
+#      boundary — same semantics as ppermute's zeros-where-no-peer);
+#   4. wait local sends + local receives.
+#
+# The mesh x coordinate arrives as an SMEM scalar (``lax.axis_index`` is a
+# shard_map-level primitive; inside the kernel only the remote-copy
+# ``device_id`` consumes it).  The y/z mesh axes are unsplit on every path
+# that exchanges slabs (the trapezoid gate), so the device id is
+# ``(x±1, 0, 0)``.
+#
+# Verified in Pallas TPU interpret mode on a virtual CPU mesh
+# (tests/test_spmd_rdma.py); on real hardware the same kernel lowers
+# through Mosaic on a 1×1×1 mesh (all remote ops under pl.when(False)),
+# multi-chip execution being hardware-pending like dist/multihost.py.
+
+
+@functools.lru_cache(maxsize=None)
+def _rdma_exchange_call(n: int, shape, gh: int, zz: int, mesh_x: int,
+                        dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    bx, by, bz = shape
+    m = mesh_x
+
+    def kernel(*refs):
+        idx_ref = refs[0]
+        frefs = refs[1 : 1 + n]
+        orefs = refs[1 + n : 1 + 3 * n]  # [lo0, hi0, lo1, hi1, ...]
+        zbuf, bsem, sems = refs[1 + 3 * n :]
+        my = idx_ref[0, 0]
+        has_lo = my > 0
+        has_hi = my < m - 1
+        z0 = jnp.int32(0)  # int32 device-id components (x64-safe)
+        left = (my - 1, z0, z0)
+        right = (my + 1, z0, z0)
+
+        @pl.when(has_lo)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=left)
+
+        @pl.when(has_hi)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=right)
+
+        nwait = has_lo.astype(jnp.int32) + has_hi.astype(jnp.int32)
+
+        @pl.when(nwait > 0)
+        def _():
+            pltpu.semaphore_wait(bsem, nwait)
+
+        cps = []
+        for i in range(n):
+            lo_ref, hi_ref = orefs[2 * i], orefs[2 * i + 1]
+            cp_lo = pltpu.make_async_remote_copy(
+                frefs[i].at[pl.ds(0, gh), :, :zz], hi_ref,
+                sems.at[i, 0], sems.at[i, 1], device_id=left,
+            )
+            cp_hi = pltpu.make_async_remote_copy(
+                frefs[i].at[pl.ds(bx - gh, gh), :, :zz], lo_ref,
+                sems.at[i, 2], sems.at[i, 3], device_id=right,
+            )
+
+            @pl.when(has_lo)
+            def _(cp_lo=cp_lo):
+                cp_lo.start()
+
+            @pl.when(has_hi)
+            def _(cp_hi=cp_hi):
+                cp_hi.start()
+
+            cps.append((cp_lo, cp_hi))
+
+        # Zero-fill the global-edge slabs (Dirichlet boundary) while the
+        # interior RDMAs are in flight.
+        zbuf[...] = jnp.zeros_like(zbuf)
+        for i in range(n):
+            lo_ref, hi_ref = orefs[2 * i], orefs[2 * i + 1]
+
+            @pl.when(~has_lo)
+            def _(lo_ref=lo_ref, i=i):
+                zc = pltpu.make_async_copy(zbuf, lo_ref, sems.at[i, 4])
+                zc.start()
+                zc.wait()
+
+            @pl.when(~has_hi)
+            def _(hi_ref=hi_ref, i=i):
+                zc = pltpu.make_async_copy(zbuf, hi_ref, sems.at[i, 5])
+                zc.start()
+                zc.wait()
+
+        for cp_lo, cp_hi in cps:
+
+            @pl.when(has_lo)
+            def _(cp_lo=cp_lo, cp_hi=cp_hi):
+                cp_lo.wait_send()   # my send to the left landed
+                cp_hi.wait_recv()   # the left's send into my lo arrived
+
+            @pl.when(has_hi)
+            def _(cp_lo=cp_lo, cp_hi=cp_hi):
+                cp_hi.wait_send()
+                cp_lo.wait_recv()
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * n
+    out_specs = tuple(
+        pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(2 * n)
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((gh, by, zz), dtype) for _ in range(2 * n)
+    )
+    scratch = [
+        pltpu.VMEM((gh, by, zz), dtype),   # zero slab
+        pltpu.SemaphoreType.REGULAR,       # neighbour barrier
+        pltpu.SemaphoreType.DMA((n, 6)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+
+def rdma_exchange(fields, x_index, gh: int, zz: int, mesh_x: int,
+                  interpret: bool = False):
+    """Exchange the ``gh``-plane x-face slabs of same-shape ``fields`` via
+    in-kernel RDMA.  ``x_index`` is the shard's mesh x coordinate as a
+    (1, 1) int32 array (``lax.axis_index('x')`` in the shard body).
+
+    Returns ``[lo0, hi0, lo1, hi1, ...]``: per field, the lower/upper
+    neighbour's face slab of shape (gh, by, zz) — zeros at the global edge,
+    exactly the ppermute path's convention (dist/spmd._x_slabs)."""
+    fields = list(fields)
+    call = _rdma_exchange_call(
+        len(fields), fields[0].shape, gh, zz, mesh_x,
+        fields[0].dtype.name, interpret,
+    )
+    return list(call(x_index, *fields))
+
+
 def multi_sweep_block(
     v, f, xslabs, bounds, params: GridParams, h: float, zz: int,
     n_iter: int, newton_v=None, src_zero: bool = False,
