@@ -131,7 +131,8 @@ def main(argv=None) -> int:
         incompat = [
             ("--dtype float64", args.dtype == "float64"),
             ("--backend cpu-native", native),
-            ("--mesh", bool(args.mesh)),
+            ("--dist-engine spmd",
+             bool(args.mesh) and args.dist_engine == "spmd"),
             ("--save-state/--load-state",
              bool(args.save_state or args.load_state)),
         ]
@@ -139,7 +140,8 @@ def main(argv=None) -> int:
         if bad:
             print(
                 f"--refine is incompatible with {', '.join(bad)} "
-                "(single-device f32 inner solves with an f64 outer defect)",
+                "(f32 inner solves with an f64 outer defect; distributed "
+                "refinement runs on the gspmd engine)",
                 file=sys.stderr,
             )
             return 1
@@ -249,9 +251,18 @@ def main(argv=None) -> int:
         if args.refine:
             from gpusolve_tpu.solver.refine import solve_refine
 
+            refine_shardings = None
+            if args.mesh:
+                from gpusolve_tpu.dist import level_shardings, make_mesh
+
+                mesh_shape = tuple(int(t) for t in args.mesh.split(","))
+                refine_shardings = level_shardings(
+                    params.replace(dtype="float32"), make_mesh(mesh_shape)
+                )
             with profile_cm:
                 u, history = solve_refine(
-                    params, inner_tol=args.refine_inner_tol
+                    params, inner_tol=args.refine_inner_tol,
+                    shardings=refine_shardings,
                 )
             if args.profile:
                 print(f"Wrote profiler trace to {args.profile}")

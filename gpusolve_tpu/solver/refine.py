@@ -141,6 +141,7 @@ def solve_refine(
     inner_iters: int = 20,
     timer: Optional[Timer] = None,
     state32: Optional[GridState] = None,
+    shardings: Optional[Tuple] = None,
 ) -> Tuple[jax.Array, List[float]]:
     """Iterate f64 defect → f32 multigrid correction until
     ``res ≤ initial·tol`` (the reference stop test, src/cpu/CpuSolver.cpp:39)
@@ -152,6 +153,11 @@ def solve_refine(
     *outer* iteration; ``inner_tol``/``inner_iters`` the f32 multigrid solve
     of each correction equation (inner tolerances below ~κ(A)·eps_f32 buy
     nothing — see module docstring).
+
+    ``shardings``: per-level ``NamedSharding`` tuple (dist.level_shardings)
+    for f64-accurate *distributed* solves — the f64 outer arrays live on the
+    finest level's sharding and the inner f32 V-cycles run under the GSPMD
+    engine (solver.vcycle with shardings).
     """
     if not jax.config.jax_enable_x64:
         raise ValueError(
@@ -173,15 +179,24 @@ def solve_refine(
     if state32 is None:
         with _x64_off():
             state32 = build_grid(p32)
+            if shardings is not None:
+                from gpusolve_tpu.dist.sharding import shard_state
+
+                state32 = shard_state(state32, shardings)
     if state32.newton_f is not None:
         # The inner Jacobian solves never read newton_f (only the outer
         # newton_solve driver does), and build_grid aliases it to the same
         # buffer as levels[0].f — which _inject donates each outer step.
         state32 = dataclasses.replace(state32, newton_f=None)
-    tp32 = vc.trace_params(p32, None)
+    tp32 = vc.trace_params(p32, shardings)
 
     u = jnp.zeros(alloc_shape(dims), jnp.float64)
     f_hi = hi_rhs(params)
+    if shardings is not None:
+        from gpusolve_tpu.dist.sharding import _place
+
+        u = _place(u, sh=shardings[0])
+        f_hi = _place(f_hi, sh=shardings[0])
     hk = _hi_key(params)
 
     r_hi, res = _hi_residual(u, f_hi, hk)
@@ -212,10 +227,11 @@ def solve_refine(
                 # — never the coarsest (the reference quirk,
                 # src/cpu/NewtonSolver.cpp:88-92).
                 state32 = newton_mod._prepare_find_error(
-                    state32, params=tp32
+                    state32, params=tp32, shardings=shardings
                 )
             state32, _ = vc.solve(
-                state32, p32, timer=timer, check_every=inner_iters
+                state32, p32, shardings=shardings, timer=timer,
+                check_every=inner_iters,
             )
         u = _accumulate(u, state32.levels[0].v, s, dims)
         r_hi, res = _hi_residual(u, f_hi, hk)

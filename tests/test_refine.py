@@ -114,6 +114,27 @@ def test_refine_inner_tol_sets_contraction():
     assert loose[1] <= loose[0] * 0.2  # still contracting
 
 
+@pytest.mark.parametrize(
+    "mode", [Mode.LINEAR, Mode.NEWTON], ids=["linear", "newton"]
+)
+def test_refine_sharded_matches_oracle(mode):
+    """Distributed refinement (GSPMD inner solves over a 2×2×2 mesh, f64
+    outer arrays on the finest level's sharding) reaches the same f64
+    accuracy as the single-device path."""
+    from gpusolve_tpu.dist import level_shardings, make_mesh
+
+    p = make_params(mode)
+    mesh = make_mesh((2, 2, 2))
+    shardings = level_shardings(p.replace(dtype="float32"), mesh)
+    u, hist = solve_refine(p, shardings=shardings)
+    assert hist[-1] <= hist[0] * 1e-11
+    u_ref = oracle_solution(p)
+    nx, ny, nz = p.grid_dim
+    got = np.asarray(u)[: nx + 2, : ny + 2, : nz + 2]
+    scale = np.max(np.abs(u_ref))
+    assert np.max(np.abs(got - u_ref)) <= 1e-8 * scale
+
+
 def test_cli_refine(tmp_path):
     conf = tmp_path / "c.conf"
     conf.write_text(
