@@ -608,6 +608,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 czz=_coarse_zz(l + 1), cnz=plan.dims[l + 1][2],
                 r_cby=plan.block[l + 1][1], r_cny=plan.dims[l + 1][1],
             )
+            if has_rv:
+                # FAS: fold the tau correction in-kernel (the coarse
+                # level's h selects the tau stencil scale).
+                kw["tau_h"] = hs[l + 1]
         outs = pallas_spmd.multi_sweep_block(
             v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
             n_iter, newton_v=aux if has_nv else None, src_zero=src_zero,
@@ -874,21 +878,23 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             v, f = arrs[0], arrs[1]
             aux = aux_of(arrs)
 
-            def _finish_restrict(xr, xv, embed, l=l):
+            def _finish_restrict(xr, xv, embed, l=l, tau_done=False):
                 """Embed a fused kernel's restricted outputs into the
                 coarse level and apply the FAS tau correction (shared by
                 both fused down paths; ``embed`` maps the kernel output
-                into the coarse block layout)."""
+                into the coarse block layout).  ``tau_done`` marks xr as
+                already tau-corrected in-kernel (the trapezoid fold)."""
                 keep_c = _interior_mask(plan, l + 1, dtype)
                 zero_c = jnp.zeros(keep_c.shape, dtype)
                 f_next = jnp.where(keep_c, embed(xr), zero_c)
                 if has_rv:
                     rv = jnp.where(keep_c, embed(xv), zero_c)
-                    av_c = _apply_local(l + 1, rv)
-                    fas = av_c + gamma * rv * jnp.exp(rv)
-                    f_next = jnp.where(
-                        keep_c, f_next + fas, jnp.zeros_like(f_next)
-                    )
+                    if not tau_done:
+                        av_c = _apply_local(l + 1, rv)
+                        fas = av_c + gamma * rv * jnp.exp(rv)
+                        f_next = jnp.where(
+                            keep_c, f_next + fas, jnp.zeros_like(f_next)
+                        )
                     sset(l + 1, v=rv, f=f_next, aux=rv)
                 else:
                     sset(l + 1, v=jnp.zeros_like(f_next), f=f_next)
@@ -915,7 +921,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         )
                     return x3[:, :, :cbz]
 
-                _finish_restrict(cr, crv, _embed_z)
+                _finish_restrict(cr, crv, _embed_z, tau_done=has_rv)
                 continue
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)

@@ -905,7 +905,7 @@ def _prolong_pad_matrix(cp_: int, fp: int, fn: int, dtype):
 def _multi_sweep_call(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
     src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
-    r_cby: int, r_cny: int, interpret: bool,
+    r_cby: int, r_cny: int, interpret: bool, tau_h: float = 0.0,
 ):
     """Trapezoid multi-sweep with optional fused producer/consumers:
 
@@ -926,7 +926,14 @@ def _multi_sweep_call(
       the local r[-1] plane exact (its dependency cone reaches S+2 <= 8
       planes into the streamed ghost slab), so coarse plane 0 is complete
       in-kernel.  FAS additionally restricts the post-sweep v (dual
-      output).
+      output), and with ``tau_h`` (the COARSE level's h) also folds the
+      FAS tau correction ``A²ʰ(R v)/h_c² + γ·Rv·e^{Rv}`` (reference
+      src/cpu/CpuSolver.cpp:110-112) into the restricted residual — the
+      coarse RHS leaves the kernel complete, no XLA fixup pass.  The
+      shard-edge tau stencil terms read the restricted-v planes m = -1
+      and m = cbx, both exact from the trapezoid's ghost-zone recompute
+      (their fine dependency cones, q ∈ [-3, -1] and [bx-1, bx+1], sit
+      inside the S+2 <= 8 valid window).
     """
     stencil_values, stencil_offsets, mode, omega, gamma = key
     taps = tuple(zip(stencil_values, stencil_offsets))
@@ -941,11 +948,16 @@ def _multi_sweep_call(
     has_nv = mode == Mode.NEWTON
     nonlin = mode == Mode.NONLINEAR
     fas = nonlin and restrict
+    fold_tau = fas and tau_h > 0.0
+    inv_h2c = (1.0 / (tau_h * tau_h)) if fold_tau else 0.0
     stream_v = not src_zero
     goff = 1 if src_corr else 0
     L = S + goff  # chain length: lag of the final written generation
     NSLAB = bx // _GH + 2
-    nsteps = bx + _GH + L + (2 if consumer else 0)
+    # The tau fold finalizes coarse plane mt = m-1 when m = cbx lands
+    # (fine residual q = bx+1), one wavefront step past the plain
+    # restriction's last event.
+    nsteps = bx + _GH + L + ((3 if fold_tau else 2) if consumer else 0)
     trig = L + 2  # in-slab prefetch offset (v2's slab-lifetime pattern)
     if src_corr:
         cby, cbz, czp, c_ny, c_nz = corr_geom
@@ -979,6 +991,7 @@ def _multi_sweep_call(
         rres = next(it) if restrict else None
         cst = next(it) if restrict else None
         cst2 = next(it) if fas else None
+        vr3 = next(it) if fold_tau else None
         sem = next(it)
 
         yi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 0)
@@ -1323,26 +1336,36 @@ def _multi_sweep_call(
                 comp = (tt - total) - y
                 carry = (tt, comp)
             elif restrict:
-                # The residual is exact for local q in [-1, bx-1]: the
-                # q=-1 plane (the x-lo neighbour's last plane) comes from
-                # the ghost-zone recompute, so coarse plane 0 needs no
-                # shard fix-up.
-                @pl.when((q >= -1) & (q <= bx - 1))
+                # The residual is exact for local q in [-1, bx-1] (with
+                # the tau fold, [-1, bx+1]): the out-of-block planes come
+                # from the ghost-zone recompute, so no coarse plane needs
+                # a shard fix-up.
+                q_hi = bx + 1 if fold_tau else bx - 1
+
+                @pl.when((q >= -1) & (q <= q_hi))
                 def _():
                     rres[r3(cq)] = jnp.where(
                         keep_at(cq), res_at(), zero_plane
                     )
 
                 # Coarse plane m (fine local 2m-1..2m+1) completes when
-                # the q=2m+1 residual lands.
+                # the q=2m+1 residual lands.  With the tau fold m also
+                # covers -1 and cbx (ring-only, for the edge tau taps),
+                # and plane mt = m-1 finalizes (tau applied) at step m.
                 m = (q - 1) // 2
-                m_ready = (((q + 64) % 2) == 1) & (m >= 0) & (m < cbx)
+                m_lo, m_hi = (-1, cbx) if fold_tau else (0, cbx - 1)
+                m_ready = (
+                    (((q + 64) % 2) == 1) & (m >= m_lo) & (m <= m_hi)
+                )
 
-                @pl.when(m_ready & ((m % _GH) == 0) & (m // _GH >= 2))
+                @pl.when(
+                    m_ready & (m >= 0) & ((m % _GH) == 0)
+                    & (m // _GH >= 2)
+                )
                 def _():
                     cst_chunks(m // _GH - 2, wait=True)
 
-                @pl.when(m_ready)
+                @pl.when(m_ready & (m >= 0) & (m < cbx))
                 def _():
                     base = 2 * m + _GH
                     sx_c = (
@@ -1351,19 +1374,102 @@ def _multi_sweep_call(
                         + 0.25 * rres[r3(base + 1)]
                     )
                     cst[m % 16] = zc(sx_c)
-                    if fas:
+
+                if fas:
+
+                    @pl.when(m_ready)
+                    def _():
                         # FAS dual restriction of the post-sweep v
                         # (reference :106-107) from the out staging ring.
+                        base = 2 * m + _GH
                         vx_c = (
                             0.25 * outst[r16(base - 1)]
                             + 0.5 * outst[r16(base)]
                             + 0.25 * outst[r16(base + 1)]
                         )
-                        cst2[m % 16] = zc(vx_c)
+                        vc = zc(vx_c)
+                        if fold_tau:
+                            # Coarse global-x interior mask: planes at or
+                            # beyond the global coarse halo are zero (the
+                            # glue path's keep_c masking of the embedded
+                            # rv) — without it the edge shards' tau taps
+                            # would read the ghost-zone restriction of
+                            # real interior data as a fake halo value.
+                            gxm = b_ref[0, 6] // 2 + m
+                            cnxg = (b_ref[0, 7] - 1) // 2
+                            inx = (gxm >= 1) & (gxm <= cnxg)
+                            vr3[r3(m)] = jnp.where(
+                                inx, vc, jnp.zeros_like(vc)
+                            )
 
-                @pl.when(m_ready & ((m % _GH) == _GH - 1))
-                def _():
-                    cst_chunks(m // _GH)
+                        @pl.when((m >= 0) & (m < cbx))
+                        def _(vc=vc):
+                            cst2[m % 16] = vc
+
+                if fold_tau:
+                    # Finalize coarse plane mt = m-1: add the tau
+                    # correction A²ʰ(Rv)/h_c² + γ·Rv·e^{Rv} (reference
+                    # :110-112) from the 3-plane restricted-v ring.
+                    mt = m - 1
+
+                    @pl.when(m_ready & (mt >= 0) & (mt < cbx))
+                    def _():
+                        v0 = vr3[r3(mt)]
+                        yi2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (r_cby, czz), 0
+                        )
+                        zi2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (r_cby, czz), 1
+                        )
+                        acc = None
+                        for val, (ox, oy, oz) in taps:
+                            if ox < 0:
+                                term = vr3[r3(mt - 1)]
+                            elif ox > 0:
+                                term = vr3[r3(mt + 1)]
+                            elif oy:
+                                term = _roll(v0, -oy, 0)
+                                edge = 0 if oy < 0 else r_cby - 1
+                                term = jnp.where(
+                                    yi2 == edge, 0.0, term
+                                ).astype(dtype)
+                            elif oz:
+                                term = _roll(v0, -oz, 1)
+                                edge = 0 if oz < 0 else czz - 1
+                                term = jnp.where(
+                                    zi2 == edge, 0.0, term
+                                ).astype(dtype)
+                            else:
+                                term = v0
+                            term = val * term
+                            acc = term if acc is None else acc + term
+                        tau = acc * inv_h2c + gamma * v0 * jnp.exp(v0)
+                        # Coarse global-interior mask: the shard's coarse
+                        # x start is half its fine start (bounds slot 6),
+                        # the global coarse extent (nx_f - 1)/2.
+                        gxc = b_ref[0, 6] // 2 + mt
+                        cnxg = (b_ref[0, 7] - 1) // 2
+                        ckeep = (
+                            (gxc >= 1) & (gxc <= cnxg)
+                            & (yi2 >= 1) & (yi2 <= r_cny)
+                            & (zi2 >= 1) & (zi2 <= cnz)
+                        )
+                        cst[mt % 16] = cst[mt % 16] + jnp.where(
+                            ckeep, tau, jnp.zeros_like(tau)
+                        )
+
+                    @pl.when(
+                        m_ready & (mt >= 0) & ((mt % _GH) == _GH - 1)
+                    )
+                    def _():
+                        cst_chunks(mt // _GH)
+                else:
+
+                    @pl.when(
+                        m_ready & ((m % _GH) == _GH - 1)
+                    )
+                    def _():
+                        cst_chunks(m // _GH)
             return carry
 
         carry = jax.lax.fori_loop(
@@ -1374,7 +1480,11 @@ def _multi_sweep_call(
             if bx // _GH - back >= 0:
                 out_chunk(jnp.int32(bx // _GH - back), wait=True)
         if restrict:
-            for back in (2, 1):
+            # With the tau fold the in-loop wait schedule runs one extra
+            # m-step (m = cbx fires the wait for chunk cbx/8-2), so only
+            # the final chunk remains unwaited here; a second wait on an
+            # already-drained semaphore would deadlock the kernel.
+            for back in ((1,) if fold_tau else (2, 1)):
                 if cbx // _GH - back >= 0:
                     cst_chunks(jnp.int32(cbx // _GH - back), wait=True)
         if with_norm:
@@ -1400,6 +1510,8 @@ def _multi_sweep_call(
         scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst staging
         if fas:
             scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst2
+        if fold_tau:
+            scratch.append(pltpu.VMEM((3, r_cby, czz), dtype))  # vr3
     scratch.append(pltpu.SemaphoreType.DMA((7, 2)))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
@@ -1599,7 +1711,7 @@ def multi_sweep_block(
     consumer=None, czz: int = 0, cnz: int = 0,
     r_cby: int = 0, r_cny: int = 0,
     coarse=None, czp: int = 0, c_ny: int = 0, c_nz: int = 0,
-    interpret: bool = False,
+    interpret: bool = False, tau_h: float = 0.0,
 ):
     """All ``n_iter`` damped-Jacobi sweeps of one leg in a single streaming
     pass (communication-avoiding: the caller exchanges the 8-plane x-face
@@ -1616,7 +1728,8 @@ def multi_sweep_block(
     ``consumer='norm'`` returns ``(v_new, partial_sumsq)``;
     ``consumer='restrict'`` returns ``(v_new, xzr[, xzv])`` — the fused
     down-leg residual + x/z restriction (requires ``bx % 16 == 0``);
-    otherwise ``(v_new, None)``."""
+    otherwise ``(v_new, None)``.  FAS restricts with ``tau_h`` (the coarse
+    level's h) > 0 also fold the tau correction into ``xzr`` in-kernel."""
     src_corr = coarse is not None
     corr_geom = None
     if src_corr:
@@ -1625,7 +1738,7 @@ def multi_sweep_block(
     call = _multi_sweep_call(
         (v.shape if not src_zero else f.shape), zz, f.dtype.name,
         _compile_key(params), h, n_iter, src_zero, src_corr, corr_geom,
-        consumer, czz, cnz, r_cby, r_cny, interpret,
+        consumer, czz, cnz, r_cby, r_cny, interpret, tau_h,
     )
     args = []
     if not src_zero:
