@@ -61,6 +61,9 @@ def main() -> None:
                     default="ppermute",
                     help="x-face slab exchange: XLA ppermute collectives or "
                     "in-kernel remote DMAs (ops/pallas_spmd.rdma_exchange)")
+    ap.add_argument("--fuse", choices=["leg", "pod"], default="leg",
+                    help="per-leg kernels or the pod-scale fused engine "
+                    "(dist/pod.py; x-split meshes)")
     args = ap.parse_args()
 
     mesh_shape = tuple(int(s) for s in args.mesh.split(","))
@@ -118,7 +121,7 @@ def main() -> None:
     # stall on the axon TPU).
     warm = params.replace(maxiter=1)
     state, _, plan = solve_spmd(
-        warm, mesh, cutoff=args.cutoff, halo=args.halo
+        warm, mesh, cutoff=args.cutoff, halo=args.halo, fuse=args.fuse
     )
 
     ck = args.check_every or args.cycles
@@ -126,12 +129,13 @@ def main() -> None:
         solve_spmd(
             params.replace(maxiter=ck), mesh, cutoff=args.cutoff,
             state=state, plan=plan, initial_residual=1.0, check_every=ck,
-            halo=args.halo,
+            halo=args.halo, fuse=args.fuse,
         )
     t0 = time.perf_counter()
     _, history, _ = solve_spmd(
         params, mesh, cutoff=args.cutoff, state=state, plan=plan,
         initial_residual=1.0, check_every=ck, halo=args.halo,
+        fuse=args.fuse,
     )
     dt = time.perf_counter() - t0
     per_cycle = dt / args.cycles
@@ -156,6 +160,7 @@ def main() -> None:
         "final_residual": history[-1] if history else None,
         "backend": jax.default_backend(),
         "halo": args.halo,
+        "fuse": args.fuse,
         "peak_hbm_gbps_per_chip": peak,
         "processes": jax.process_count(),
     }))

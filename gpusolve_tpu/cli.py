@@ -96,6 +96,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "groundwork)",
     )
     ap.add_argument(
+        "--fuse", choices=["leg", "pod"], default="leg",
+        help="with --dist-engine spmd: one kernel per leg, or the "
+        "pod-scale engine — ALL distributed legs per direction in one "
+        "kernel with in-kernel RDMA exchange, replicated tail as one "
+        "wavefront mega-kernel (dist/pod.py; x-split meshes)",
+    )
+    ap.add_argument(
         "--refine", action="store_true",
         help="mixed-precision iterative refinement: f64-accurate solves at "
         "f32 multigrid speed (f64 outer defect + f32 V-cycle corrections; "
@@ -299,14 +306,16 @@ def main(argv=None) -> int:
                 with profile_cm:
                     if params.mode == Mode.NEWTON:
                         sp_state, history, plan = newton_solve_spmd(
-                            params, mesh, local_backend=lb, halo=args.halo
+                            params, mesh, local_backend=lb,
+                            halo=args.halo, fuse=args.fuse,
                         )
                         solution_np = gather_solution(
                             sp_state, plan, mesh, which=2
                         )
                     else:
                         sp_state, history, plan = solve_spmd(
-                            params, mesh, local_backend=lb, halo=args.halo
+                            params, mesh, local_backend=lb,
+                            halo=args.halo, fuse=args.fuse,
                         )
                         if params.print_progress:
                             print(f"Inital residual: {history[0]:.6g}")

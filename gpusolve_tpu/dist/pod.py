@@ -1,0 +1,361 @@
+"""Pod-scale SPMD engine: three Pallas launches per V-cycle.
+
+Composes ops/pallas_pod's whole-direction kernels with the wavefront
+mega-kernel as the replicated coarse tail:
+
+    pod_down (all distributed down legs, in-kernel RDMA halo exchange)
+      -> consolidation embed + all_gather (XLA, coarse-tail-sized)
+      -> pallas_vcycle2 on the replicated sub-hierarchy (ONE kernel)
+      -> boundary coarse slice (XLA)
+      -> pod_up (all distributed up legs + fused finest-level norm)
+
+Against the per-leg engine (dist/spmd.py) this removes every per-level
+kernel launch, slab-exchange launch, and XLA embed between legs on x-split
+meshes; the per-level trapezoid numerics are byte-identical (the same
+``_make_leg`` emitters run inside the chained kernels).
+
+Pod level layout: x halves exactly down the chain; y/z extents are per
+level ``round_up(n+2, 8)`` / ``round_up(n+1, 128)`` — see
+ops/pallas_pod's docstring.  The distribution cutoff IS the pod depth:
+levels >= npod are replicated and solved redundantly per chip by the tail
+kernel (the multigrid analogue of pipeline-stage consolidation, moved up
+to wherever the fused-leg gates stop paying).
+
+State layout matches the per-leg engine: per level ``[v, f, aux?]``, pod
+levels first (pod block shapes), then the replicated tail (alloc_shape
+layouts) — so the Newton driver, residual-norm helper, checkpointing and
+``gather_solution`` in dist/spmd.py work unchanged on a PodPlan.
+
+Reference numerics: src/cpu/CpuSolver.cpp:85-139 (V-cycle), FAS :100-113 /
+:121-125, via the shared leg emitters and the v2 tail kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpusolve_tpu.config import GridParams, Mode
+from gpusolve_tpu.grid import alloc_shape
+from gpusolve_tpu.ops import pallas_pod
+from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+from gpusolve_tpu.dist import spmd as _spmd
+
+_AXES = ("x", "y", "z")
+
+
+def choose_npod(params: GridParams, mesh_x: int,
+                cutoff: int = 4) -> Optional[int]:
+    """Pick the pod depth minimising estimated per-chip streamed volume:
+    pod levels cost their (padded) block volume per chip; the tail costs
+    its full hierarchy volume on EVERY chip (redundant replication) — so
+    deeper pods pay x-alignment padding at level 0 while shallower pods
+    pay redundant tail work, and the optimum moves with the mesh size."""
+    if params.cycle_type != "V":
+        return None
+    dims = params.level_dims()
+    best = None
+    for npod in range(1, len(dims)):
+        if not pallas_pod.pod_supported(params, mesh_x, npod):
+            continue
+        levels = pallas_pod.pod_levels(params, mesh_x, npod)
+        if levels[npod - 1][0] < max(16, cutoff):
+            continue
+        tail_params = params.replace(grid_dim=dims[npod])
+        if not pv2.supported(tail_params):
+            continue
+        cost = sum(bx * by * zz for (bx, by, zz, *_) in levels[:npod])
+        for t in range(npod, len(dims)):
+            s = alloc_shape(dims[t])
+            cost += s[0] * s[1] * pv2.z_live(dims[t], s)
+        if best is None or cost < best[1]:
+            best = (npod, cost)
+    return best[0] if best else None
+
+
+class PodPlan:
+    """SpmdPlan-compatible decomposition plan for the pod engine."""
+
+    def __init__(self, params: GridParams, mesh_shape, npod: int):
+        assert mesh_shape[1] == 1 and mesh_shape[2] == 1
+        self.params = params
+        self.mesh_shape = tuple(mesh_shape)
+        self.dims = params.level_dims()
+        self.nlev = len(self.dims)
+        self.npod = npod
+        self.n_dist = npod
+        self.levels = pallas_pod.pod_levels(params, mesh_shape[0], npod)
+        self.block = [lv[:3] for lv in self.levels[:npod]]
+        self.alloc = [lv[:3] for lv in self.levels[:npod]]
+        for l in range(npod, self.nlev):
+            self.alloc.append(alloc_shape(self.dims[l]))
+        # _clean_level hooks (dist/spmd.py): every pod level is a Pallas
+        # level whose live lane extent equals the allocation.
+        self.ps_levels = [True] * npod
+        self.zz_live = [lv[2] for lv in self.levels[:npod]]
+        self.fused_down_levels = tuple(range(npod))
+        self.fused_up_levels = tuple(range(1, npod + 1))
+
+
+def build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
+    """(init_fn, cycle_fn, plan) with the dist/spmd engine contract."""
+    if params.cycle_type != "V":
+        raise ValueError("the pod engine implements V-cycles only")
+    key = dataclasses.replace(
+        params, maxiter=0, tol=0.0, print_progress=False
+    )
+    return _build_pod_solver(key, mesh, cutoff)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
+    mesh_shape = mesh.devices.shape
+    if mesh_shape[1] != 1 or mesh_shape[2] != 1:
+        raise ValueError(
+            f"pod engine needs an x-split mesh (X,1,1); got {mesh_shape}"
+        )
+    m = mesh_shape[0]
+    npod = choose_npod(params, m, cutoff)
+    if npod is None:
+        raise ValueError(
+            "pod engine unsupported for this geometry/mode; use the "
+            "per-leg spmd engine"
+        )
+    plan = PodPlan(params, mesh_shape, npod)
+    dims = plan.dims
+    nlev = plan.nlev
+    levels = plan.levels
+    dtype = jnp.dtype(params.dtype)
+    mode = params.mode
+    has_nv = mode == Mode.NEWTON
+    has_rv = mode == Mode.NONLINEAR
+    n_arr = 3 if (has_nv or has_rv) else 2
+    gamma = params.gamma
+    stencil = params.stencil
+    hs = [params.level_h(l) for l in range(nlev)]
+    interp = jax.default_backend() not in ("tpu", "axon")
+    tail_params = params.replace(grid_dim=dims[npod])
+    cb_b, cy_b, cz_b = levels[npod][:3]
+    ta = plan.alloc[npod]
+
+    dist_spec = P("x", "y", "z")
+    repl_spec = P()
+    in_specs = tuple(
+        [dist_spec] * (n_arr * npod) + [repl_spec] * (n_arr * (nlev - npod))
+    )
+
+    def _bounds(l):
+        bx, by, zz, nx, ny, nz = levels[l]
+        gs = lax.axis_index("x").astype(jnp.int32) * bx
+        vals = [
+            jnp.maximum(jnp.int32(0), jnp.int32(1) - gs),
+            jnp.minimum(jnp.int32(bx - 1), jnp.int32(nx) - gs),
+            jnp.int32(1), jnp.int32(ny),
+            jnp.int32(1), jnp.int32(nz),
+            gs, jnp.int32(nx),
+        ]
+        return jnp.stack(vals).reshape(1, 8)
+
+    def _embed_tail(x3):
+        """Pod coarse output (per-shard (cb_b, cy_b, cz_b)) -> replicated
+        tail-finest array (alloc layout) on every shard."""
+        g = x3
+        if m > 1:
+            g = lax.all_gather(g, "x", axis=0, tiled=True)
+        out = jnp.zeros(ta, dtype)
+        sl = tuple(slice(0, min(g.shape[a], ta[a])) for a in range(3))
+        return out.at[sl].set(g[sl])
+
+    def _slice_boundary(vt):
+        """Replicated tail-finest field -> this shard's pod-layout coarse
+        block + its 8-plane x-face slabs (no communication: the tail is
+        replicated)."""
+        gh = pallas_pod._GH
+        g = jnp.zeros((m * cb_b + 2 * gh, cy_b, cz_b), dtype)
+        sl = (
+            min(ta[0], m * cb_b), min(ta[1], cy_b), min(ta[2], cz_b)
+        )
+        g = g.at[gh : gh + sl[0], : sl[1], : sl[2]].set(
+            vt[: sl[0], : sl[1], : sl[2]]
+        )
+        start = lax.axis_index("x").astype(jnp.int32) * cb_b
+        z0 = jnp.int32(0)
+        cvb = lax.dynamic_slice(
+            g, (gh + start, z0, z0), (cb_b, cy_b, cz_b)
+        )
+        clo = lax.dynamic_slice(g, (start, z0, z0), (gh, cy_b, cz_b))
+        chi = lax.dynamic_slice(
+            g, (gh + start + cb_b, z0, z0), (gh, cy_b, cz_b)
+        )
+        return cvb, clo, chi
+
+    def _edge_norm_complete(v, f, aux, pss):
+        """Finish the fused post-smooth norm: the kernel sums interior
+        planes [1, bx-1); the two x-edge planes need the neighbours'
+        post-smoothed faces (dist/spmd.py's helper, pod layout)."""
+        bx, by, zz, nx, ny, nz = levels[0]
+        yi2 = lax.broadcasted_iota(jnp.int32, (by, zz), 0)
+        zi2 = lax.broadcasted_iota(jnp.int32, (by, zz), 1)
+        if m > 1:
+            fwd = [(i, i + 1) for i in range(m - 1)]
+            bwd = [(i + 1, i) for i in range(m - 1)]
+            glo = lax.ppermute(v[bx - 1], "x", fwd)
+            ghi = lax.ppermute(v[0], "x", bwd)
+        else:
+            glo = jnp.zeros((by, zz), dtype)
+            ghi = glo
+        gs = lax.axis_index("x") * bx
+        inv_h2 = 1.0 / (hs[0] * hs[0])
+        keep2 = (yi2 >= 1) & (yi2 <= ny) & (zi2 >= 1) & (zi2 <= nz)
+        ss = pss.astype(jnp.float32)
+        for q, xm, x0, xp in (
+            (0, glo, v[0], v[1]),
+            (bx - 1, v[bx - 2], v[bx - 1], ghi),
+        ):
+            acc = None
+            for val, (ox, oy, oz) in zip(stencil.values, stencil.offsets):
+                if ox < 0:
+                    term = val * xm
+                elif ox > 0:
+                    term = val * xp
+                else:
+                    term = val * _spmd._shifted_local(
+                        x0[None], (0, oy, oz), (1, by, zz)
+                    )[0]
+                acc = term if acc is None else acc + term
+            av = acc * inv_h2
+            if has_nv:
+                nvq = aux[q]
+                av = av + gamma * (1.0 + nvq) * x0 * jnp.exp(nvq)
+            elif has_rv:
+                av = av + gamma * x0 * jnp.exp(x0)
+            gq = gs + q
+            keep_q = keep2 & (gq >= 1) & (gq <= nx)
+            r = jnp.where(keep_q, f[q] - av, jnp.zeros_like(x0))
+            ss = ss + jnp.sum(r.astype(jnp.float32) ** 2)
+        ss = lax.psum(ss, "x")
+        return ss.astype(dtype)
+
+    def local_cycle(*state):
+        state = list(state)
+
+        def sget(l):
+            base = n_arr * l
+            return state[base : base + n_arr]
+
+        def sset(l, v=None, f=None, aux=None):
+            base = n_arr * l
+            if v is not None:
+                state[base] = v
+            if f is not None:
+                state[base + 1] = f
+            if aux is not None:
+                state[base + 2] = aux
+
+        v0, f0 = state[0], state[1]
+        nvs = [sget(l)[2] for l in range(npod)] if has_nv else []
+        my = lax.axis_index("x").astype(jnp.int32).reshape(1, 1)
+        bounds = [_bounds(l) for l in range(npod)]
+
+        # ---- all distributed down legs: ONE kernel -----------------------
+        downs = pallas_pod.pod_down(
+            v0, f0, nvs, bounds, my, levels, params, m, interpret=interp
+        )
+
+        # ---- consolidation + replicated tail (v2 mega-kernel) ------------
+        xzr_b = downs[npod - 1][1]
+        tf0 = _embed_tail(xzr_b)
+        if has_rv:
+            tv0 = _embed_tail(downs[npod - 1][2])
+            trv0 = tv0
+        else:
+            tv0 = jnp.zeros(ta, dtype)
+            trv0 = None
+        targs = []
+        for t in range(npod, nlev):
+            arrs = sget(t)
+            if t == npod:
+                targs.append(tv0)
+                targs.append(tf0)
+                if has_nv:
+                    targs.append(arrs[2])
+                elif has_rv:
+                    targs.append(trv0)
+            else:
+                targs.extend(arrs[:n_arr])
+        ncyc = jnp.full((1, 1), 1, jnp.int32)
+        thr = jnp.full((1, 1), -1.0, jnp.float32)
+        touts = pv2.batch_call(
+            tuple(targs), tail_params, 1, ncyc, thr, interpret=interp
+        )
+        for i, t in enumerate(range(npod, nlev)):
+            o = touts[i * n_arr : (i + 1) * n_arr]
+            sset(t, v=o[0], f=o[1],
+                 aux=o[2] if n_arr == 3 else None)
+
+        # ---- boundary coarse operand -------------------------------------
+        vt = sget(npod)[0]
+        if has_rv:
+            vt = vt - sget(npod)[2]
+        cvb, clo, chi = _slice_boundary(vt)
+
+        # ---- all distributed up legs: ONE kernel -------------------------
+        vs = [downs[l][0] for l in range(npod)]
+        fs = [f0] + [downs[l][1] for l in range(npod - 1)]
+        rvs = [None] + [
+            downs[l][2] if has_rv else None for l in range(npod - 1)
+        ]
+        vups, pss = pallas_pod.pod_up(
+            vs, fs, nvs, rvs, cvb, clo, chi, bounds, my, levels,
+            params, m, interpret=interp,
+        )
+
+        # ---- state update + norm ----------------------------------------
+        sset(0, v=vups[0])
+        for l in range(1, npod):
+            sset(
+                l, v=vups[l], f=downs[l - 1][1],
+                aux=downs[l - 1][2] if has_rv else None,
+            )
+        ss = _edge_norm_complete(
+            vups[0], f0, nvs[0] if has_nv else None, pss
+        )
+        return tuple(state) + (jnp.sqrt(ss),)
+
+    out_specs = in_specs + (repl_spec,)
+    smapped = _spmd._shard_map(
+        local_cycle, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )
+    cycle_fn = jax.jit(lambda *state: smapped(*state))
+
+    def local_init(_):
+        out = []
+        for l in range(npod):
+            bx, by, zz = plan.block[l]
+            z = jnp.zeros((bx, by, zz), dtype)
+            out.append(z)
+            out.append(
+                _spmd._local_rhs(plan, 0, params, dtype) if l == 0 else z
+            )
+            if n_arr == 3:
+                out.append(z)
+        for l in range(npod, nlev):
+            z = jnp.zeros(plan.alloc[l], dtype)
+            out.extend([z] * n_arr)
+        return tuple(out)
+
+    init_smapped = _spmd._shard_map(
+        local_init, mesh=mesh, in_specs=(repl_spec,), out_specs=in_specs,
+        check_rep=False,
+    )
+    init_fn = jax.jit(lambda: init_smapped(jnp.zeros((1,), dtype)))
+
+    return init_fn, cycle_fn, plan

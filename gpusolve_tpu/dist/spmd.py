@@ -373,8 +373,57 @@ def _slice_coarse_for_shard(coarse_repl, plan: SpmdPlan, lf: int):
     )
 
 
+def _local_rhs(plan, l: int, params: GridParams, dtype):
+    """Analytic RHS evaluated shard-locally from global coordinates
+    (device-convention, grid._device_rhs semantics: linear at (i-1)h,
+    nonlinear at i·h — src/sycl/SyclGridData.cpp:49-104)."""
+    mode = params.mode
+    gamma = params.gamma
+    bx, by, bz = plan.block[l]
+    h = params.h
+    off = -1.0 if mode == Mode.LINEAR else 0.0
+    gx = _global_start(bx, "x") + lax.broadcasted_iota(
+        jnp.int32, (bx, by, bz), 0
+    )
+    gy = _global_start(by, "y") + lax.broadcasted_iota(
+        jnp.int32, (bx, by, bz), 1
+    )
+    gz = _global_start(bz, "z") + lax.broadcasted_iota(
+        jnp.int32, (bx, by, bz), 2
+    )
+    x = (gx.astype(dtype) + off) * h
+    y = (gy.astype(dtype) + off) * h
+    z = (gz.astype(dtype) + off) * h
+
+    if mode == Mode.LINEAR:
+        def f0(t):
+            return 100.0 * (t * (t - 1.0)) ** 4
+
+        def f2(t):
+            return (
+                100.0 * 4.0 * (t - 1.0) * (t - 1.0) * t * t
+                * (14.0 * t * t - 14.0 * t + 3.0)
+            )
+
+        val = -(
+            f2(x) * f0(y) * f0(z)
+            + f0(x) * f2(y) * f0(z)
+            + f0(x) * f0(y) * f2(z)
+        )
+    else:
+        ggx, ggy, ggz = x - x * x, y - y * y, z - z * z
+        prod = ggx * ggy * ggz
+        val = (
+            2.0 * (ggy * ggz + ggx * ggz + ggx * ggy)
+            + gamma * prod * jnp.exp(prod)
+        )
+    keep = _interior_mask(plan, l, dtype)
+    return jnp.where(keep, val, jnp.zeros_like(val))
+
+
 def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
-                      local_backend: str = "auto", halo: str = "ppermute"):
+                      local_backend: str = "auto", halo: str = "ppermute",
+                      fuse: str = "leg"):
     """Construct ``(init_fn, cycle_fn, plan)`` — cached.
 
     The traced cycle does not read maxiter/tol/print_progress, so those are
@@ -387,7 +436,18 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
     ``halo``: "ppermute" (XLA collectives) or "rdma" — the per-leg x-face
     slab exchange of the trapezoid paths runs as in-kernel remote DMAs
     (ops/pallas_spmd.rdma_exchange, pod-scale mega-kernel groundwork); the
-    non-trapezoid fallback paths keep ppermute either way."""
+    non-trapezoid fallback paths keep ppermute either way.
+
+    ``fuse``: "leg" (one kernel per leg, this module) or "pod" — ALL
+    distributed legs per direction in one kernel with in-kernel RDMA
+    exchange, the replicated tail as one wavefront mega-kernel
+    (dist/pod.py; x-split meshes, local_backend/halo ignored)."""
+    if fuse == "pod":
+        from gpusolve_tpu.dist import pod as _pod
+
+        return _pod.build_pod_solver(params, mesh, cutoff)
+    if fuse != "leg":
+        raise ValueError(f"fuse must be 'leg' or 'pod', got {fuse!r}")
     if params.cycle_type != "V":
         raise ValueError(
             "the explicit spmd engine implements V-cycles only; use the "
@@ -734,49 +794,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     )
 
     def local_rhs(l):
-        """Analytic RHS evaluated shard-locally from global coordinates
-        (device-convention, grid._device_rhs semantics: linear at (i-1)h,
-        nonlinear at i·h — src/sycl/SyclGridData.cpp:49-104)."""
-        bx, by, bz = plan.block[l]
-        h = params.h
-        off = -1.0 if mode == Mode.LINEAR else 0.0
-        gx = _global_start(bx, "x") + lax.broadcasted_iota(
-            jnp.int32, (bx, by, bz), 0
-        )
-        gy = _global_start(by, "y") + lax.broadcasted_iota(
-            jnp.int32, (bx, by, bz), 1
-        )
-        gz = _global_start(bz, "z") + lax.broadcasted_iota(
-            jnp.int32, (bx, by, bz), 2
-        )
-        x = (gx.astype(dtype) + off) * h
-        y = (gy.astype(dtype) + off) * h
-        z = (gz.astype(dtype) + off) * h
-
-        if mode == Mode.LINEAR:
-            def f0(t):
-                return 100.0 * (t * (t - 1.0)) ** 4
-
-            def f2(t):
-                return (
-                    100.0 * 4.0 * (t - 1.0) * (t - 1.0) * t * t
-                    * (14.0 * t * t - 14.0 * t + 3.0)
-                )
-
-            val = -(
-                f2(x) * f0(y) * f0(z)
-                + f0(x) * f2(y) * f0(z)
-                + f0(x) * f0(y) * f2(z)
-            )
-        else:
-            ggx, ggy, ggz = x - x * x, y - y * y, z - z * z
-            prod = ggx * ggy * ggz
-            val = (
-                2.0 * (ggy * ggz + ggx * ggz + ggx * ggy)
-                + gamma * prod * jnp.exp(prod)
-            )
-        keep = _interior_mask(plan, l, dtype)
-        return jnp.where(keep, val, jnp.zeros_like(val))
+        return _local_rhs(plan, l, params, dtype)
 
     def _apply_local(l, v):
         """A·v/h² on a distributed level (overlap-structured when the
@@ -1235,14 +1253,20 @@ def gather_solution(state, plan: SpmdPlan, mesh: Mesh,
 
 @functools.lru_cache(maxsize=32)
 def _k_cycle_fn(params: GridParams, mesh: Mesh, cutoff: int,
-                local_backend: str, k: int, halo: str = "ppermute"):
+                local_backend: str, k: int, halo: str = "ppermute",
+                fuse: str = "leg"):
     """``k`` V-cycles per dispatch via ``lax.scan`` (amortises the
     per-launch/per-fetch overhead that dominates through the tunnel and on
     small grids — the spmd analogue of the mega-kernel's multi-cycle
     launches)."""
-    _, cycle_fn, _ = _build_spmd_solver(
-        params, mesh, cutoff, local_backend, halo
-    )
+    if fuse == "pod":
+        from gpusolve_tpu.dist import pod as _pod
+
+        _, cycle_fn, _ = _pod._build_pod_solver(params, mesh, cutoff)
+    else:
+        _, cycle_fn, _ = _build_spmd_solver(
+            params, mesh, cutoff, local_backend, halo
+        )
 
     def k_cycles(*state):
         def body(st, _):
@@ -1262,6 +1286,7 @@ def solve_spmd(
     local_backend: str = "auto",
     check_every: int = 1,
     halo: str = "ppermute",
+    fuse: str = "leg",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Full explicit-halo SPMD solve, any mode.  Returns
     ``(final_state, residual_history, plan)`` — the history is comparable
@@ -1273,7 +1298,7 @@ def solve_spmd(
     threshold (parity mode is k=1, like the reference's per-cycle check).
     """
     init_fn, cycle_fn, plan_ = build_spmd_solver(
-        params, mesh, cutoff, local_backend, halo
+        params, mesh, cutoff, local_backend, halo, fuse
     )
     plan = plan or plan_
     if state is None:
@@ -1298,7 +1323,9 @@ def solve_spmd(
         key = dataclasses.replace(
             params, maxiter=0, tol=0.0, print_progress=False
         )
-        kfn = _k_cycle_fn(key, mesh, cutoff, local_backend, k, halo)
+        kfn = _k_cycle_fn(
+            key, mesh, cutoff, local_backend, k, halo, fuse
+        )
     done = 0
     thr = None  # initial / (1/tol), computed lazily (initial may be 0)
     while done < params.maxiter:
@@ -1429,6 +1456,7 @@ def newton_solve_spmd(
     params: GridParams, mesh: Mesh, cutoff: int = 4,
     local_backend: str = "auto",
     halo: str = "ppermute",
+    fuse: str = "leg",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -1439,7 +1467,7 @@ def newton_solve_spmd(
     sharded state whose newton_v holds the solution."""
     assert params.mode == Mode.NEWTON
     init_fn, cycle_fn, plan = build_spmd_solver(
-        params, mesh, cutoff, local_backend, halo
+        params, mesh, cutoff, local_backend, halo, fuse
     )
     comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
         params, mesh, plan
@@ -1479,7 +1507,7 @@ def newton_solve_spmd(
         st, _, _ = solve_spmd(
             inner, mesh, cutoff, state=tuple(state), plan=plan,
             initial_residual=None, local_backend=local_backend,
-            halo=halo,
+            halo=halo, fuse=fuse,
         )
         state = list(st)
         state[2] = update_nv_fn(state[2], state[0])

@@ -901,13 +901,20 @@ def _prolong_pad_matrix(cp_: int, fp: int, fn: int, dtype):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
-def _multi_sweep_call(
+def _make_leg(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
     src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
-    r_cby: int, r_cny: int, interpret: bool, tau_h: float = 0.0,
+    r_cby: int, r_cny: int, tau_h: float = 0.0, sub_rv: bool = False,
 ):
-    """Trapezoid multi-sweep with optional fused producer/consumers:
+    """Build one trapezoid-leg *emitter*: returns ``(leg, n_in, scratch,
+    outs)`` where ``leg(refs)`` emits the complete leg body given a flat
+    ref tuple in the order inputs (n_in HBM fields/slabs + 1 SMEM bounds) +
+    outputs (v_new [+ sum | xzr [+ xzv]]) + ``scratch``.  ``outs`` is the
+    output ShapeDtypeStruct list (first entry SMEM when it is the norm
+    scalar).  The standalone per-leg kernel (_multi_sweep_call) and the
+    pod-scale whole-cycle kernel (ops/pallas_pod) both chain this emitter.
+
+    Trapezoid multi-sweep with optional fused producer/consumers:
 
     * ``src_corr``: the leg starts by adding the trilinear-prolonged
       coarse correction (the up leg's ``v += P(vc)``) as stage 0 of the
@@ -963,7 +970,7 @@ def _multi_sweep_call(
         cby, cbz, czp, c_ny, c_nz = corr_geom
         NSC = cbx // _GH + 2  # coarse composite slabs (lo | block | hi)
 
-    def kernel(*refs):
+    def leg(refs):
         it = iter(refs)
         v_ref = next(it) if stream_v else None
         f_ref = next(it)
@@ -977,6 +984,8 @@ def _multi_sweep_call(
             nvlo = nvhi = None
         if src_corr:
             c_ref, clo, chi = next(it), next(it), next(it)
+        if sub_rv:
+            rv_ref, rvlo, rvhi = next(it), next(it), next(it)
         b_ref = next(it)
         out_ref = next(it)
         sum_ref = next(it) if with_norm else None
@@ -988,6 +997,7 @@ def _multi_sweep_call(
         gens = [next(it) for _ in range(max(S - 1 + goff, 1))]
         outst = next(it)
         scc = next(it) if src_corr else None
+        srv = next(it) if sub_rv else None
         rres = next(it) if restrict else None
         cst = next(it) if restrict else None
         cst2 = next(it) if fas else None
@@ -1019,6 +1029,8 @@ def _multi_sweep_call(
                 sets.append((v_ref, vlo, vhi, sv, 0))
             if has_nv:
                 sets.append((nv_ref, nvlo, nvhi, snv, 2))
+            if sub_rv:
+                sets.append((rv_ref, rvlo, rvhi, srv, 7))
             for ref, lo, hi, dst, si in sets:
                 if start:
                     @pl.when(s == 0)
@@ -1164,6 +1176,7 @@ def _multi_sweep_call(
         if restrict:
             wz = _restrict_z_matrix(zz, czz, cnz, dtype)
             wy = _restrict_y_matrix(by, r_cby, r_cny, dtype)
+            czero2 = jnp.zeros((r_cby, czz), dtype)
 
             def zc(p2d):
                 # full y+z contraction: (by, zz) -> (r_cby, czz)
@@ -1295,6 +1308,12 @@ def _multi_sweep_call(
                         rp = gen_read()
                         av = stencil_sum(rp)
                         val = jacobi_plane(rp(0), av, fint, nvi)
+                    if sub_rv and is_last:
+                        # FAS up-leg output is v - restV (reference
+                        # :121-125) folded into the final write — the pod
+                        # chain's next-finer corr stage streams it
+                        # directly.
+                        val = val - srv[r16(cq)]
                     val = jnp.where(keep_at(cq), val, zero_plane)
                     if is_last:
                         outst[r16(cq)] = val
@@ -1373,7 +1392,17 @@ def _multi_sweep_call(
                         + 0.5 * rres[r3(base)]
                         + 0.25 * rres[r3(base + 1)]
                     )
-                    cst[m % 16] = zc(sx_c)
+                    # Global-coarse-x interior mask: zero the global halo
+                    # planes so the restricted output is final (the pod
+                    # chain streams it as the next level's f with no XLA
+                    # fixup; idempotent with the glue path's keep_c).
+                    gxm0 = b_ref[0, 6] // 2 + m
+                    cnx0 = (b_ref[0, 7] - 1) // 2
+                    inx0 = (gxm0 >= 1) & (gxm0 <= cnx0)
+                    out_c = zc(sx_c)
+                    cst[m % 16] = jnp.where(
+                        inx0, out_c, jnp.zeros_like(out_c)
+                    )
 
                 if fas:
 
@@ -1387,20 +1416,20 @@ def _multi_sweep_call(
                             + 0.5 * outst[r16(base)]
                             + 0.25 * outst[r16(base + 1)]
                         )
-                        vc = zc(vx_c)
+                        # Coarse global-x interior mask: planes at or
+                        # beyond the global coarse halo are zero (the
+                        # glue path's keep_c masking of the embedded
+                        # rv) — without it the edge shards' tau taps
+                        # would read the ghost-zone restriction of
+                        # real interior data as a fake halo value, and
+                        # the pod chain streams the output as the next
+                        # level's v with no XLA fixup.
+                        gxm = b_ref[0, 6] // 2 + m
+                        cnxg = (b_ref[0, 7] - 1) // 2
+                        inx = (gxm >= 1) & (gxm <= cnxg)
+                        vc = jnp.where(inx, zc(vx_c), czero2)
                         if fold_tau:
-                            # Coarse global-x interior mask: planes at or
-                            # beyond the global coarse halo are zero (the
-                            # glue path's keep_c masking of the embedded
-                            # rv) — without it the edge shards' tau taps
-                            # would read the ghost-zone restriction of
-                            # real interior data as a fake halo value.
-                            gxm = b_ref[0, 6] // 2 + m
-                            cnxg = (b_ref[0, 7] - 1) // 2
-                            inx = (gxm >= 1) & (gxm <= cnxg)
-                            vr3[r3(m)] = jnp.where(
-                                inx, vc, jnp.zeros_like(vc)
-                            )
+                            vr3[r3(m)] = vc
 
                         @pl.when((m >= 0) & (m < cbx))
                         def _(vc=vc):
@@ -1494,6 +1523,8 @@ def _multi_sweep_call(
     n_in += (2 if stream_v else 0) + 2 + (2 if has_nv else 0)
     if src_corr:
         n_in += 3  # coarse block + its two x-face ghost slabs
+    if sub_rv:
+        n_in += 3  # rest_v block + its two x-face ghost slabs
     scratch = []
     if stream_v:
         scratch.append(pltpu.VMEM((16, by, zz), dtype))  # sv
@@ -1505,6 +1536,8 @@ def _multi_sweep_call(
     scratch.append(pltpu.VMEM((16, by, zz), dtype))      # out staging
     if src_corr:
         scratch.append(pltpu.VMEM((16, cby, czp), dtype))  # coarse ring
+    if sub_rv:
+        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # srv ring
     if restrict:
         scratch.append(pltpu.VMEM((3, by, zz), dtype))   # residual ring
         scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst staging
@@ -1512,30 +1545,50 @@ def _multi_sweep_call(
             scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst2
         if fold_tau:
             scratch.append(pltpu.VMEM((3, r_cby, czz), dtype))  # vr3
-    scratch.append(pltpu.SemaphoreType.DMA((7, 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((8, 2)))
 
+    outs = [jax.ShapeDtypeStruct(block, dtype)]
+    if with_norm:
+        outs.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    if restrict:
+        outs.append(jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype))
+        if fas:
+            outs.append(jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype))
+
+    return leg, n_in, scratch, outs
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_sweep_call(
+    block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
+    src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
+    r_cby: int, r_cny: int, interpret: bool, tau_h: float = 0.0,
+):
+    """Standalone per-leg pallas_call around one ``_make_leg`` emitter."""
+    leg, n_in, scratch, outs = _make_leg(
+        block, zz, dtype_name, key, h, S, src_zero, src_corr, corr_geom,
+        consumer, czz, cnz, r_cby, r_cny, tau_h,
+    )
+
+    def kernel(*refs):
+        leg(refs)
+
+    with_norm = consumer == "norm"
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # bounds
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
-    out_shapes = [jax.ShapeDtypeStruct(block, dtype)]
-    if with_norm:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-    if restrict:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        out_shapes.append(jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype))
-        if fas:
-            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-            out_shapes.append(
-                jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype)
-            )
+    for o in outs[1:]:
+        out_specs.append(pl.BlockSpec(
+            memory_space=pltpu.SMEM if o.shape == (1, 1) and with_norm
+            else pltpu.HBM
+        ))
 
     return pl.pallas_call(
         kernel,
         grid=(),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
+        out_shape=tuple(outs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
