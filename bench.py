@@ -212,7 +212,13 @@ def main() -> None:
         "per_cycle_ms": round(per_cycle * 1e3, 2),
         "effective_hbm_gbps": round(effective_gbps, 1),
         "peak_hbm_gbps": peak,
-        "hbm_fraction": round(bw_fraction, 4),
+        # ``effective_hbm_fraction`` credits the fused kernel with the
+        # pass-per-op traffic model's bytes (temporal blocking can push it
+        # past 1.0 — it is a fusion-credit metric, not a physical roofline
+        # fraction; round-2 ADVICE).  The physical fraction
+        # (actually-streamed bytes / peak) is emitted as ``hbm_fraction``
+        # below once the streamed traffic is known.
+        "effective_hbm_fraction": round(bw_fraction, 4),
         "device": getattr(dev, "device_kind", str(dev)),
         "mode": Mode(mode_num).name,
         "cycles": cycles,
@@ -224,6 +230,10 @@ def main() -> None:
         out["check_every"] = check_every
         out["actual_streamed_gb"] = round(streamed / 1e9, 2)
         out["actual_hbm_gbps"] = round(streamed / per_cycle / 1e9, 1)
+        out["hbm_fraction"] = round(streamed / per_cycle / 1e9 / peak, 4)
+    else:
+        # Pass-per-op structure: the model's bytes ARE the physical bytes.
+        out["hbm_fraction"] = round(bw_fraction, 4)
     print(json.dumps(out))
 
 

@@ -513,6 +513,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     # The Newton outer helpers need the same geometry (see _newton_helpers).
     plan.ps_levels = ps_levels
     plan.zz_live = zzs
+    # CLI gating notes: whether the Pallas local path was platform-eligible
+    # at all (False on CPU under 'auto' — a platform fallback, not a
+    # geometry one).
+    plan.ps_platform = use_ps
 
     def _clean(l, u):
         """Zero the unwritten lane tail of a Pallas-level array before any
@@ -1287,6 +1291,7 @@ def solve_spmd(
     check_every: int = 1,
     halo: str = "ppermute",
     fuse: str = "leg",
+    timer=None,
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Full explicit-halo SPMD solve, any mode.  Returns
     ``(final_state, residual_history, plan)`` — the history is comparable
@@ -1296,13 +1301,25 @@ def solve_spmd(
     the convergence test between batches; the per-cycle history is still
     recorded exactly, but a solve may run up to k-1 cycles past the stop
     threshold (parity mode is k=1, like the reference's per-cycle check).
+
+    Progress lines match the single-device solver's (``iter: N residual: R
+    Took Xms`` plus Timer counters — the format the reference prints,
+    src/Timer.cpp:13-27, and its harness regex-parses,
+    runExperiments.py:46); batched dispatches report the per-cycle share of
+    the batch wall time like the mega-kernel path.
     """
+    import time as _time
+
+    from gpusolve_tpu.utils.timer import Timer as _Timer
+
     init_fn, cycle_fn, plan_ = build_spmd_solver(
         params, mesh, cutoff, local_backend, halo, fuse
     )
     plan = plan or plan_
     if state is None:
         state = init_fn()
+    if timer is None and params.print_progress:
+        timer = _Timer()
 
     # Cache the jitted r0 computation on the plan (the plan is itself
     # cached per configuration, so repeated solves skip the recompile).
@@ -1314,6 +1331,8 @@ def solve_spmd(
     if initial_residual is None:
         initial = float(r0_fn(*state[:n_arr]))
         history = [initial]
+        if params.print_progress:
+            print(f"Inital residual: {initial:.6g}")
     else:
         initial = float(initial_residual)
         history = []
@@ -1326,26 +1345,65 @@ def solve_spmd(
         kfn = _k_cycle_fn(
             key, mesh, cutoff, local_backend, k, halo, fuse
         )
+
+    def _progress(i, res, ms):
+        if params.print_progress:
+            line = f"iter: {i} residual: {res:.6g} Took {ms}ms"
+            if timer is not None:
+                line += timer.suffix()
+            print(line)
+
     done = 0
-    thr = None  # initial / (1/tol), computed lazily (initial may be 0)
     while done < params.maxiter:
+        t0 = _time.perf_counter()
         if kfn is not None and done + k <= params.maxiter:
             out = kfn(*state)
             state = out[:-1]
-            norms = [float(r) for r in np.asarray(out[-1])]
-            history.extend(norms)
-            done += k
+            # The once-per-batch device sync (the analogue of the
+            # reference's sumBuffer host accessor, SyclSolver.cpp:361-374).
+            if timer is not None:
+                with timer.section("sumBuffer"):
+                    arr = np.asarray(out[-1])
+            else:
+                arr = np.asarray(out[-1])
+            per_ms = int((_time.perf_counter() - t0) * 1000 / k)
+            norms = [float(r) for r in arr]
+            for res in norms:
+                history.append(res)
+                _progress(done, res, per_ms)
+                done += 1
             if any(r <= initial / (1.0 / params.tol) for r in norms):
                 break
         else:
             out = cycle_fn(*state)
             state = out[:-1]
-            res = float(out[-1])
+            if timer is not None:
+                with timer.section("sumBuffer"):
+                    res = float(out[-1])
+            else:
+                res = float(out[-1])
             history.append(res)
+            _progress(done, res, int((_time.perf_counter() - t0) * 1000))
             done += 1
             if res <= initial / (1.0 / params.tol):
                 break
     return state, history, plan
+
+
+def spmd_eligible(params: GridParams, mesh_shape) -> Optional[str]:
+    """None when the explicit spmd engine can run this configuration, else
+    a human-readable reason (the CLI's auto engine selection and
+    fast-path-gating notes)."""
+    if params.cycle_type != "V":
+        return (
+            f"--cycle {params.cycle_type} runs on the gspmd engine only"
+        )
+    dims = params.level_dims()
+    if len(dims) < 2:
+        return "single-level grid"
+    if any(dims[0][a] < mesh_shape[a] for a in range(3)):
+        return f"grid {dims[0]} too small for mesh {tuple(mesh_shape)}"
+    return None
 
 
 def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
@@ -1457,6 +1515,10 @@ def newton_solve_spmd(
     local_backend: str = "auto",
     halo: str = "ppermute",
     fuse: str = "leg",
+    state=None,
+    newton_f=None,
+    initial_residual: Optional[float] = None,
+    timer=None,
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -1464,7 +1526,16 @@ def newton_solve_spmd(
     NEWTON-mode MG solve runs fully sharded, and ũ += v.
 
     Returns ``(state, history, plan)`` where ``state`` is the inner solver's
-    sharded state whose newton_v holds the solution."""
+    sharded state whose newton_v holds the solution.  The original RHS
+    ``newton_f`` (needed to resume — level-0 ``f`` is overwritten with F
+    each step) is stashed on the plan as ``plan.newton_f``.
+
+    ``state``/``newton_f``/``initial_residual``: checkpoint resume — the
+    stop threshold keeps the original run's initial residual."""
+    import time as _time
+
+    from gpusolve_tpu.utils.timer import Timer as _Timer
+
     assert params.mode == Mode.NEWTON
     init_fn, cycle_fn, plan = build_spmd_solver(
         params, mesh, cutoff, local_backend, halo, fuse
@@ -1472,7 +1543,9 @@ def newton_solve_spmd(
     comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
         params, mesh, plan
     )
-    state = list(init_fn())
+    if timer is None and params.print_progress:
+        timer = _Timer()
+    state = list(init_fn() if state is None else state)
     n_arr = 3
     nd = plan.n_dist
     nlev = plan.nlev
@@ -1485,20 +1558,30 @@ def newton_solve_spmd(
             state[n_arr * l + 2] = nvs[l]
 
     # newton_f: the immutable original RHS (level-0 f from init).
-    newton_f = state[1]
+    if newton_f is None:
+        newton_f = state[1]
+    plan.newton_f = newton_f
 
     def comp_f():
         F, res = comp_f_fn(state[2], newton_f, state[1])
         state[1] = F
+        if timer is not None:
+            with timer.section("sumBuffer"):
+                return float(res)
         return float(res)
 
-    initial = comp_f()
-    history = [initial]
-    if params.print_progress:
-        print(f"Inital newton residual: {initial:.6g}")
+    if initial_residual is None:
+        initial = comp_f()
+        history = [initial]
+        if params.print_progress:
+            print(f"Inital newton residual: {initial:.6g}")
+    else:
+        initial = float(initial_residual)
+        history = []
 
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
     for i in range(params.maxiter):
+        t0 = _time.perf_counter()
         comp_f()
         # zero v on every level (reference :22)
         for l in range(nlev):
@@ -1514,7 +1597,11 @@ def newton_solve_spmd(
         res = comp_f()
         history.append(res)
         if params.print_progress:
-            print(f"newton iter: {i} residual: {res:.6g}")
+            ms = int((_time.perf_counter() - t0) * 1000)
+            line = f"newton iter: {i} residual: {res:.6g} Took {ms}ms"
+            if timer is not None:
+                line += timer.suffix()
+            print(line)
         if res <= initial / (1.0 / params.tol):
             break
     return tuple(state), history, plan

@@ -100,14 +100,25 @@ def level_supported(
     )
 
 
-def supported(params: GridParams) -> bool:
+def unsupported_reason(params: GridParams):
+    """None when the shard-local Pallas kernels can run this configuration,
+    else a human-readable gate description (CLI fast-path notes)."""
     if params.dtype != "float32":
-        return False
+        return f"dtype {params.dtype} (Mosaic kernels are float32-only)"
     # Face-taps-only (no corner/edge offsets): the six-face ghost exchange
     # carries exactly the neighbour values such stencils need.
-    return all(
+    if not all(
         sum(1 for o in off if o) <= 1 for off in params.stencil.offsets
-    )
+    ):
+        return (
+            "stencil has corner/edge taps (the face-plane ghost exchange "
+            "carries face neighbours only)"
+        )
+    return None
+
+
+def supported(params: GridParams) -> bool:
+    return unsupported_reason(params) is None
 
 
 def _compile_key(params: GridParams):

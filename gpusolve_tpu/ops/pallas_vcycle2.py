@@ -200,13 +200,22 @@ def _scratch_bytes(params: GridParams) -> int:
     return sum(a * b * c for (a, b, c) in plan) * itemsize
 
 
-def supported(params: GridParams) -> bool:
+def unsupported_reason(params: GridParams):
+    """None when the wavefront mega-kernel can run this configuration, else
+    a human-readable gate description (surfaced by the CLI's fast-path
+    notes / --explain-backend)."""
     if params.mode not in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR):
-        return False
+        return f"mode {params.mode} not implemented in the kernel"
     if params.pre_smoothing > 5 or params.post_smoothing > 5:
-        return False
+        return (
+            f"pre/post smoothing {params.pre_smoothing}/"
+            f"{params.post_smoothing} exceeds the per-leg sweep cap (5)"
+        )
     if _cycle_pass_count(params) > _MAX_PASSES:
-        return False
+        return (
+            f"cycle schedule needs {_cycle_pass_count(params)} passes "
+            f"(> Mosaic program-size cap {_MAX_PASSES})"
+        )
     dims = params.level_dims()
     shapes = [alloc_shape(d) for d in dims]
     # The coarsest level runs pre+post fused sweeps; the streamed-pass sweep
@@ -214,18 +223,25 @@ def supported(params: GridParams) -> bool:
     if shapes[-1][0] > _TINY_AX and (
         params.pre_smoothing + params.post_smoothing > 5
     ):
-        return False
+        return "coarsest level too large for its pre+post fused sweeps"
     for d, shape in zip(dims, shapes):
         # Streamed levels write interior x planes in 8-plane chunks from
         # offset 1; the last chunk must fit the allocation, which holds
         # exactly when nx % 8 is 7 or 0 (all 2^k-1 and 3*2^k grids).
         if shape[0] > _TINY_AX and d[0] % 8 not in (0, 7):
-            return False
+            return (
+                f"level x-extent {d[0]} not 8-chunkable "
+                "(use 2^k-1 or 3*2^k grid dims)"
+            )
     # Leave headroom under the Mosaic VMEM budget for the compiler's own
     # temporaries (matmul staging etc.).
     if _scratch_bytes(params) > _VMEM_LIMIT - 8 * 1024 * 1024:
-        return False
-    return True
+        return "kernel scratch exceeds the VMEM budget"
+    return None
+
+
+def supported(params: GridParams) -> bool:
+    return unsupported_reason(params) is None
 
 
 @functools.lru_cache(maxsize=None)

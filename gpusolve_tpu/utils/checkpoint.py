@@ -95,3 +95,72 @@ def load_state(path: str, params: GridParams):
         iteration,
         history,
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit-SPMD engine checkpoints (dist/spmd.py state tuples)
+# ---------------------------------------------------------------------------
+#
+# The spmd engines (per-leg and pod) carry their state as a flat tuple of
+# global arrays in engine-specific allocations (mesh-aware on distributed
+# levels), so their checkpoints are engine/mesh-keyed: resuming requires the
+# same mesh shape and engine (the fingerprint enforces it — never a silent
+# mismatch).  Arrays are gathered to host on save and resharded by the
+# jitted cycle's in_specs on load.
+
+
+def _spmd_fingerprint(params: GridParams, plan, engine: str) -> str:
+    shapes = ";".join(str(tuple(a)) for a in plan.alloc)
+    return (
+        f"{_fingerprint(params)};mesh={plan.mesh_shape};engine={engine};"
+        f"alloc={shapes}"
+    )
+
+
+def save_state_spmd(
+    path: str,
+    state,
+    plan,
+    params: GridParams,
+    engine: str,
+    iteration: int = 0,
+    history: Optional[List[float]] = None,
+    newton_f=None,
+) -> None:
+    """Write an spmd-engine state tuple (plus, in Newton mode, the original
+    RHS ``newton_f`` — level-0 f holds the Newton residual F between outer
+    steps)."""
+    arrays = {f"s_{i}": np.asarray(a) for i, a in enumerate(state)}
+    if newton_f is not None:
+        arrays["newton_f"] = np.asarray(newton_f)
+    np.savez_compressed(
+        path,
+        __fingerprint__=np.array(_spmd_fingerprint(params, plan, engine)),
+        __iteration__=np.array(iteration),
+        __history__=np.array(history if history else [], dtype=np.float64),
+        **arrays,
+    )
+
+
+def load_state_spmd(path: str, params: GridParams, plan, engine: str):
+    """Rebuild an spmd state tuple from a checkpoint.  Returns
+    ``(state, iteration, history, newton_f)``.  Raises on config, mesh, or
+    engine mismatch."""
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as z:
+        fp = str(z["__fingerprint__"])
+        want = _spmd_fingerprint(params, plan, engine)
+        if fp != want:
+            raise ValueError(
+                "checkpoint was written for a different problem/mesh/"
+                f"engine configuration:\n  saved: {fp}\n  current: {want}"
+            )
+        n = sum(1 for k in z.files if k.startswith("s_"))
+        state = tuple(jnp.asarray(z[f"s_{i}"]) for i in range(n))
+        newton_f = (
+            jnp.asarray(z["newton_f"]) if "newton_f" in z.files else None
+        )
+        iteration = int(z["__iteration__"])
+        history = [float(h) for h in z["__history__"]]
+    return state, iteration, history, newton_f
