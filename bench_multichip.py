@@ -159,7 +159,17 @@ def main() -> None:
         "check_every": ck,
         "final_residual": history[-1] if history else None,
         "backend": jax.default_backend(),
+        # Which distributed levels ran the Pallas shard-local kernels /
+        # fused single-pass legs (vs the jnp fallback) — the round-3
+        # engagement report for y/z-split meshes.
+        "data_mesh": list(getattr(plan, "mesh_shape", mesh_shape)),
+        "pallas_levels": list(getattr(plan, "ps_levels", [])),
+        "fused_down_levels": list(
+            getattr(plan, "fused_down_levels", ())
+        ),
+        "fused_up_levels": list(getattr(plan, "fused_up_levels", ())),
         "halo": args.halo,
+        "rdma_active": bool(getattr(plan, "rdma_active", False)),
         "fuse": args.fuse,
         "peak_hbm_gbps_per_chip": peak,
         "processes": jax.process_count(),

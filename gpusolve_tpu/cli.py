@@ -144,10 +144,24 @@ def _spmd_notes(params, plan, args, _explain) -> None:
             "note: shard-local compute falls back to the XLA formulation: "
             f"{reason}", file=sys.stderr,
         )
+    if (
+        args.halo == "rdma"
+        and not getattr(plan, "rdma_active", True)
+    ):
+        print(
+            "note: --halo rdma carries x-face slabs only; the y-split "
+            "two-stage ppermute exchange runs instead on this mesh",
+            file=sys.stderr,
+        )
     nd = plan.n_dist
+    dm = getattr(plan, "device_mesh", plan.mesh_shape)
+    fold = (
+        f" (z mesh axis folded into y: data mesh {plan.mesh_shape})"
+        if tuple(dm) != tuple(plan.mesh_shape) else ""
+    )
     lines = [
         f"dist-engine=spmd fuse={args.fuse} halo={args.halo} "
-        f"({nd} distributed levels, {plan.nlev - nd} replicated)",
+        f"({nd} distributed levels, {plan.nlev - nd} replicated){fold}",
     ]
     slow = []
     for l in range(nd):

@@ -87,6 +87,8 @@ class PodPlan:
         assert mesh_shape[1] == 1 and mesh_shape[2] == 1
         self.params = params
         self.mesh_shape = tuple(mesh_shape)
+        self.device_mesh = tuple(mesh_shape)
+        self.names = ("x", "y", "z")
         self.dims = params.level_dims()
         self.nlev = len(self.dims)
         self.npod = npod

@@ -77,10 +77,27 @@ def _round_up(n: int, m: int) -> int:
 
 class SpmdPlan:
     """Static decomposition plan: which levels are distributed, and the
-    mesh-aware allocation/block shapes per level."""
+    mesh-aware allocation/block shapes per level.
+
+    TPU-native 3-D torus mapping: the z data axis is the vector lane axis
+    and is never split (a z split would shrink every vector op's lane
+    occupancy and break the kernels' 128-lane DMA tiling —
+    ops/pallas_spmd docstring).  A z mesh axis is instead FOLDED into the
+    y data decomposition: the y axis of the grid shards over the
+    flattened ``('y', 'z')`` device-axis pair, so its halo collectives
+    ride the z-axis ICI links too.  ``mesh_shape`` below is the DATA
+    decomposition shape ``(mx, my*mz, 1)``; the raw device mesh stays in
+    ``device_mesh``."""
 
     def __init__(self, params: GridParams, mesh_shape, cutoff: int = 4):
         self.params = params
+        self.device_mesh = tuple(mesh_shape)
+        mesh_shape = (mesh_shape[0], mesh_shape[1] * mesh_shape[2], 1)
+        self.names = (
+            "x",
+            ("y", "z") if self.device_mesh[2] > 1 else "y",
+            "z",
+        )
         self.mesh_shape = tuple(mesh_shape)
         dims = params.level_dims()
         nlev = len(dims)
@@ -129,7 +146,7 @@ class SpmdPlan:
         self.nlev = nlev
 
 
-def _face_ghosts(u, mesh_shape, axes=(0, 1, 2)):
+def _face_ghosts(u, mesh_shape, axes=(0, 1, 2), names=_AXES):
     """Collect the neighbour face planes (one ppermute pair per axis).
 
     Returns ``[(lo_ghost, hi_ghost)] * len(axes)`` where ``lo_ghost`` is the
@@ -137,7 +154,7 @@ def _face_ghosts(u, mesh_shape, axes=(0, 1, 2)):
     global edge — the Dirichlet boundary)."""
     out = []
     for ax in axes:
-        name = _AXES[ax]
+        name = names[ax]
         m = mesh_shape[ax]
         lo_idx = [slice(None)] * u.ndim
         lo_idx[ax] = slice(0, 1)
@@ -155,14 +172,14 @@ def _face_ghosts(u, mesh_shape, axes=(0, 1, 2)):
     return out
 
 
-def _halo_exchange(u, mesh_shape, axes=(0, 1, 2)):
+def _halo_exchange(u, mesh_shape, axes=(0, 1, 2), names=_AXES):
     """Ghost-extend a local block by one cell per face via ppermute.
 
     Exchanges are sequential per axis ON the partially extended block, so
     later axes forward earlier axes' ghosts — that is what fills the edge
     and corner ghost cells the 27-point transfers read."""
     for ax in axes:
-        name = _AXES[ax]
+        name = names[ax]
         m = mesh_shape[ax]
         lo_idx = [slice(None)] * u.ndim
         lo_idx[ax] = slice(0, 1)
@@ -200,13 +217,13 @@ def _interior_mask(plan: SpmdPlan, l: int, dtype):
     """True on cells whose *global* index is interior ([1, n] per axis)."""
     bx, by, bz = plan.block[l]
     nx, ny, nz = plan.dims[l]
-    gx = _global_start(bx, "x") + lax.broadcasted_iota(
+    gx = _global_start(bx, plan.names[0]) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 0
     )
-    gy = _global_start(by, "y") + lax.broadcasted_iota(
+    gy = _global_start(by, plan.names[1]) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 1
     )
-    gz = _global_start(bz, "z") + lax.broadcasted_iota(
+    gz = jnp.int32(0) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 2
     )
     keep = (
@@ -343,9 +360,9 @@ def _gather_to_replicated(local_block, plan: SpmdPlan, shape):
     """all_gather a dist-layout field to the full global array on every
     shard, then embed it in the replicated level's allocation ``shape``."""
     g = local_block
-    for ax, name in enumerate(_AXES):
+    for ax in range(3):
         if plan.mesh_shape[ax] > 1:
-            g = lax.all_gather(g, name, axis=ax, tiled=True)
+            g = lax.all_gather(g, plan.names[ax], axis=ax, tiled=True)
     # g has the dist-global extent (>= logical padded); crop/pad to shape.
     out = jnp.zeros(shape, g.dtype)
     sl = tuple(slice(0, min(g.shape[a], shape[a])) for a in range(3))
@@ -366,7 +383,9 @@ def _slice_coarse_for_shard(coarse_repl, plan: SpmdPlan, lf: int):
         tuple((1, max(1, p)) for p in pad_hi),
     )
     starts = tuple(
-        _global_start(bc[a], _AXES[a]) for a in range(3)
+        _global_start(bc[a], plan.names[a]) if plan.mesh_shape[a] > 1
+        else jnp.int32(0)
+        for a in range(3)
     )
     return lax.dynamic_slice(
         padded, starts, tuple(bc[a] + 2 for a in range(3))
@@ -382,13 +401,13 @@ def _local_rhs(plan, l: int, params: GridParams, dtype):
     bx, by, bz = plan.block[l]
     h = params.h
     off = -1.0 if mode == Mode.LINEAR else 0.0
-    gx = _global_start(bx, "x") + lax.broadcasted_iota(
+    gx = _global_start(bx, plan.names[0]) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 0
     )
-    gy = _global_start(by, "y") + lax.broadcasted_iota(
+    gy = _global_start(by, plan.names[1]) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 1
     )
-    gz = _global_start(bz, "z") + lax.broadcasted_iota(
+    gz = jnp.int32(0) + lax.broadcasted_iota(
         jnp.int32, (bx, by, bz), 2
     )
     x = (gx.astype(dtype) + off) * h
@@ -478,6 +497,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     compute everywhere).
     """
     plan = SpmdPlan(params, mesh.devices.shape, cutoff)
+    names = plan.names
     dtype = jnp.dtype(params.dtype)
     nd = plan.n_dist
     nlev = plan.nlev
@@ -530,7 +550,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         tile-padded to 128 in HBM).  z faces are not exchanged on this path:
         the kernels require the z mesh axis unsplit (its ghosts are then the
         zero Dirichlet boundary, synthesised in-kernel)."""
-        g = _face_ghosts(u, plan.mesh_shape, axes=(0, 1))
+        g = _face_ghosts(u, plan.mesh_shape, axes=(0, 1), names=names)
         return (
             g[0][0][0], g[0][1][0],
             g[1][0][:, 0], g[1][1][:, 0],
@@ -543,15 +563,27 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         for ax in range(3):
             b = plan.block[l][ax]
             n = plan.dims[l][ax]
-            gs = lax.axis_index(_AXES[ax]) * b
+            gs = (
+                lax.axis_index(names[ax]) * b
+                if plan.mesh_shape[ax] > 1 else jnp.int32(0)
+            )
             vals.append(jnp.maximum(jnp.int32(0), jnp.int32(1) - gs))
             vals.append(jnp.minimum(jnp.int32(b - 1), jnp.int32(n) - gs))
-        # Spare slots: the shard's global x start and the global x
-        # interior extent — the trapezoid kernel masks ghost-zone
-        # generations by GLOBAL interior (the neighbour's cells are real).
+        # Global-geometry slots: the shard's global x start and the
+        # global x interior extent (the trapezoid kernel masks ghost-zone
+        # generations by GLOBAL interior — the neighbour's cells are
+        # real), then the same pair for y (the y-split trapezoid), then
+        # two spares.
         vals.append(lax.axis_index("x") * jnp.int32(plan.block[l][0]))
         vals.append(jnp.int32(plan.dims[l][0]))
-        return jnp.stack(vals).reshape(1, 8)
+        vals.append(
+            lax.axis_index(names[1]) * jnp.int32(plan.block[l][1])
+            if plan.mesh_shape[1] > 1 else jnp.int32(0)
+        )
+        vals.append(jnp.int32(plan.dims[l][1]))
+        vals.append(jnp.int32(0))
+        vals.append(jnp.int32(0))
+        return jnp.stack(vals).reshape(1, 12)
 
     def _coarse_zz(lc):
         return _round_up(plan.dims[lc][2] + 1, 128)
@@ -587,7 +619,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         if plan.mesh_shape[1] > 1:
             m = plan.mesh_shape[1]
             glo = lax.ppermute(
-                x2[:, by_ - 1, :], "y", [(i, i + 1) for i in range(m - 1)]
+                x2[:, by_ - 1, :], names[1],
+                [(i, i + 1) for i in range(m - 1)],
             )
             out = out.at[:, 0, :].add(0.25 * glo)
         if czz < cbz:
@@ -610,16 +643,26 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             x2 = x2.at[0].add(w * prev)
         return x2
 
-    # Trapezoid (communication-avoiding) smoothing: all sweeps of a leg in
-    # one kernel pass with 8-plane x-face slabs exchanged once.  Legal only
-    # with y and z unsplit (ops/pallas_spmd.multi_sweep_block docstring).
-    can_trap = plan.mesh_shape[1] == 1 and plan.mesh_shape[2] == 1
+    # Trapezoid (communication-avoiding) smoothing: all sweeps of a leg
+    # in one kernel pass with 8-plane x-face slabs exchanged once.  Under
+    # a y split the kernel runs the 2-D trapezoid (ghy = 8-row y-face
+    # slabs, ghost rows recomputed per sweep — _make_leg docstring); the
+    # z mesh axis is always folded away (SpmdPlan).
+    ysplit = plan.mesh_shape[1] > 1
+    ghy = pallas_spmd._GH if ysplit else 0
 
     def _trap_ok(l, n_iter):
-        return (
-            can_trap and l < nd and ps_levels[l] and 1 <= n_iter <= 5
+        ok = (
+            l < nd and ps_levels[l] and 1 <= n_iter <= 5
             and plan.block[l][0] % pallas_spmd._GH == 0
         )
+        if ok and ysplit:
+            # y slabs are 8 rows: the block must hold at least one, and
+            # the sweep cone must stay inside it (S + 2 <= 8 holds via
+            # n_iter <= 5; the restrict/tau consumers' deeper taps are
+            # checked in their own gates).
+            ok = plan.block[l][1] % pallas_spmd._GH == 0
+        return ok
 
     def _x_slabs(u):
         m = plan.mesh_shape[0]
@@ -635,26 +678,63 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             hi = lo
         return lo, hi
 
-    use_rdma = halo == "rdma"
+    # The in-kernel RDMA exchange carries x-face slabs only; under a y
+    # split the two-stage ppermute path (which forwards the diagonal
+    # corners) runs instead.
+    use_rdma = halo == "rdma" and not ysplit
+    plan.rdma_active = use_rdma
 
     def _xidx():
         return lax.axis_index("x").astype(jnp.int32).reshape(1, 1)
 
+    def _y_slabs(u):
+        g = pallas_spmd._GH
+        by_ = u.shape[1]
+        my = plan.mesh_shape[1]
+        fwd = [(i, i + 1) for i in range(my - 1)]
+        bwd = [(i + 1, i) for i in range(my - 1)]
+        ylo = lax.ppermute(u[:, by_ - g :], names[1], fwd)
+        yhi = lax.ppermute(u[:, :g], names[1], bwd)
+        return ylo, yhi
+
     def _slabs_multi(fields, zz_lane):
-        """8-plane x-face slabs for same-shape fields, in slab-pair order
-        ``[lo0, hi0, lo1, hi1, ...]``: one in-kernel RDMA pallas call
-        (halo='rdma' — ops/pallas_spmd.rdma_exchange) or per-field XLA
-        ppermute pairs.  The RDMA slabs carry the ``zz_lane`` lane extent
-        (all the consumer reads); the ppermute ones the full allocation —
-        the trapezoid kernel slices ``:zz`` off either."""
+        """Ghost slabs for same-shape fields, grouped per field:
+        ``[xlo, xhi]`` (x-split) or ``[xlo, xhi, ylo, yhi]`` (y-split,
+        with the x slabs carrying ``by + 16`` rows).  One in-kernel RDMA
+        pallas call (halo='rdma' — ops/pallas_spmd.rdma_exchange) or XLA
+        ppermute; under the y split the exchange is two-stage — y first,
+        then x slabs of the y-EXTENDED composite, so the x slabs carry
+        the diagonal neighbours' corner rows (the standard sequential-
+        axis halo trick, cf. _halo_exchange)."""
         if use_rdma:
             return pallas_spmd.rdma_exchange(
                 fields, _xidx(), pallas_spmd._GH, zz_lane,
                 plan.mesh_shape[0], interpret=interp,
             )
         out = []
+        g = pallas_spmd._GH
         for u in fields:
-            out.extend(_x_slabs(u))
+            if ysplit:
+                ylo, yhi = _y_slabs(u)
+                bx = u.shape[0]
+                lo_src = jnp.concatenate(
+                    [ylo[bx - g :], u[bx - g :], yhi[bx - g :]], axis=1
+                )
+                hi_src = jnp.concatenate(
+                    [ylo[:g], u[:g], yhi[:g]], axis=1
+                )
+                m = plan.mesh_shape[0]
+                if m > 1:
+                    fwd = [(i, i + 1) for i in range(m - 1)]
+                    bwd = [(i + 1, i) for i in range(m - 1)]
+                    lo = lax.ppermute(lo_src, "x", fwd)
+                    hi = lax.ppermute(hi_src, "x", bwd)
+                else:
+                    lo = jnp.zeros_like(lo_src)
+                    hi = jnp.zeros_like(hi_src)
+                out.extend([lo, hi, ylo, yhi])
+            else:
+                out.extend(_x_slabs(u))
         return out
 
     def _trap_smooth(l, v, f, aux, n_iter, with_norm=False,
@@ -679,7 +759,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         outs = pallas_spmd.multi_sweep_block(
             v, f, tuple(slabs), _bounds_arr(l), params, hs[l], zzs[l],
             n_iter, newton_v=aux if has_nv else None, src_zero=src_zero,
-            consumer=consumer, interpret=interp, **kw,
+            consumer=consumer, interpret=interp, ghy=ghy, **kw,
         )
         return outs
 
@@ -691,6 +771,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         return (
             _trap_ok(l, n_iter) and _rr_fused(l)
             and plan.block[l][0] % 16 == 0 and n_iter + 2 <= 8
+            and (not ysplit or plan.block[l + 1][1] % 8 == 0)
         )
 
     def _trap_corr_ok(lc, n_iter):
@@ -759,12 +840,31 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             ghi = glo
         gs = lax.axis_index("x") * bx
         inv_h2 = 1.0 / (hs[l] * hs[l])
-        keep2 = (yi2 >= 1) & (yi2 <= nyl) & (zi2 >= 1) & (zi2 <= nzl)
+        if plan.mesh_shape[1] > 1:
+            gy0 = lax.axis_index(names[1]) * by_
+            keep2 = (
+                (gy0 + yi2 >= 1) & (gy0 + yi2 <= nyl)
+                & (zi2 >= 1) & (zi2 <= nzl)
+            )
+            # y ghost rows of the two x-edge planes (for the center
+            # plane's oy taps; the ox taps carry no y offset — face-tap
+            # stencils only on this path).
+            my = plan.mesh_shape[1]
+            yfwd = [(i, i + 1) for i in range(my - 1)]
+            ybwd = [(i + 1, i) for i in range(my - 1)]
+            edge2 = jnp.stack([cl(v[0]), cl(v[bx - 1])])
+            yglo = lax.ppermute(edge2[:, by_ - 1, :], names[1], yfwd)
+            yghi = lax.ppermute(edge2[:, 0, :], names[1], ybwd)
+        else:
+            keep2 = (
+                (yi2 >= 1) & (yi2 <= nyl) & (zi2 >= 1) & (zi2 <= nzl)
+            )
+            yglo = yghi = None
         ss = pss.astype(jnp.float32)
-        for q, xm, x0, xp in (
+        for qi, (q, xm, x0, xp) in enumerate((
             (0, glo, cl(v[0]), cl(v[1])),
             (bx - 1, cl(v[bx - 2]), cl(v[bx - 1]), ghi),
-        ):
+        )):
             acc = None
             for val, (ox, oy, oz) in zip(stencil.values, stencil.offsets):
                 if ox < 0:
@@ -772,7 +872,15 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 elif ox > 0:
                     term = val * xp
                 else:
-                    term = val * _shift2(x0, oy, oz)
+                    tap = _shift2(x0, oy, oz)
+                    if oy and yglo is not None:
+                        # replace the zero-filled wrap row with the y
+                        # neighbour's ghost row
+                        if oy < 0:
+                            tap = tap.at[0, :].set(yglo[qi])
+                        else:
+                            tap = tap.at[by_ - 1, :].set(yghi[qi])
+                    term = val * tap
                 acc = term if acc is None else acc + term
             av = acc * inv_h2
             if has_nv:
@@ -790,7 +898,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
 
     shard_map = _shard_map
 
-    dist_spec = P("x", "y", "z")
+    dist_spec = P("x", names[1], None)
     repl_spec = P()
 
     in_specs = tuple(
@@ -805,11 +913,11 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         stencil has face taps only)."""
         inv_h2 = 1.0 / (hs[l] * hs[l])
         if overlap:
-            ghosts = _face_ghosts(v, plan.mesh_shape)
+            ghosts = _face_ghosts(v, plan.mesh_shape, names=names)
             return _stencil_overlap(
                 v, ghosts, stencil, inv_h2, plan.block[l]
             )
-        asm = _halo_exchange(v, plan.mesh_shape)
+        asm = _halo_exchange(v, plan.mesh_shape, names=names)
         return _stencil_assembled(asm, stencil, inv_h2, plan.block[l])
 
     def _smooth(l, v, f, aux, n_iter):
@@ -962,7 +1070,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 )
                 continue
             r, _ = _residual(l, v, f, aux, with_norm=False)
-            asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape)
+            asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape, names=names)
             if l + 1 < nd:
                 cb = plan.block[l + 1]
                 keep_c = _interior_mask(plan, l + 1, dtype)
@@ -974,7 +1082,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 if has_rv:
                     # FAS (reference :100-113): restrict v into coarse v
                     # and rest_v; f += A²ʰ(restV) + γ restV e^{restV}.
-                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape)
+                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape, names=names)
                     rv = _mask_c(_restrict_local(asm_v, cb))
                     av_c = _apply_local(l + 1, rv)
                     fas = av_c + gamma * rv * jnp.exp(rv)
@@ -998,7 +1106,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
 
                 f_next = _to_repl(_restrict_local(asm_r, cb))
                 if has_rv:
-                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape)
+                    asm_v = _halo_exchange(_clean(l, v), plan.mesh_shape, names=names)
                     rv = _to_repl(_restrict_local(asm_v, cb))
                     a_coarse = xla.apply_stencil_fas(
                         rv, plan.dims[nd], params, hs[nd]
@@ -1079,7 +1187,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     # prolongation + correction add + all post sweeps
                     # (+ the finest level's residual norm).
                     vcc = _clean(l, vc)
-                    clo, chi = _slabs_multi([vcc], _coarse_zz(l))
+                    cslabs = _slabs_multi([vcc], _coarse_zz(l))
                     fields = [vf, ff]
                     if has_nv:
                         fields.append(aux_f)
@@ -1089,10 +1197,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         vf, ff, tuple(slabs), _bounds_arr(l - 1),
                         params, hs[l - 1], zzs[l - 1], post,
                         newton_v=aux_f if has_nv else None,
-                        coarse=(vcc, clo, chi), czp=_coarse_zz(l),
+                        coarse=(vcc, *cslabs), czp=_coarse_zz(l),
                         c_ny=plan.dims[l - 1][1],
                         c_nz=plan.dims[l - 1][2],
-                        consumer=consumer, interpret=interp,
+                        consumer=consumer, interpret=interp, ghy=ghy,
                     )
                     if consumer:
                         vf, pss = outs
@@ -1108,7 +1216,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     # xy-ghost-extended coarse block (z stays in padded
                     # coordinates — unsplit), y-padded to the DMA tiling.
                     asm_c = _halo_exchange(
-                        _clean(l, vc), plan.mesh_shape, axes=(0, 1)
+                        _clean(l, vc), plan.mesh_shape, axes=(0, 1),
+                        names=names,
                     )
                     pad_y = (-asm_c.shape[1]) % 8
                     if pad_y:
@@ -1133,7 +1242,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         vf = _smooth(l - 1, vf, ff, aux_f, post)
                     sset(l - 1, v=vf)
                     continue
-                asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape)
+                asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape, names=names)
             e = _prolong_local(asm_c, plan.block[l - 1])
             keep = _interior_mask(plan, l - 1, dtype)
             vf = jnp.where(keep, vf + e, jnp.zeros_like(vf))
@@ -1195,6 +1304,7 @@ def _build_residual_norm(params: GridParams, mesh: Mesh, plan: SpmdPlan,
                          against_f=None):
     """Jitted distributed residual-norm of the finest level (v, f [, aux])."""
     dtype = jnp.dtype(params.dtype)
+    names = plan.names
     has_aux = params.mode != Mode.LINEAR
     hs0 = params.level_h(0)
     stencil = params.stencil
@@ -1206,12 +1316,12 @@ def _build_residual_norm(params: GridParams, mesh: Mesh, plan: SpmdPlan,
         inv_h2 = 1.0 / (hs0 * hs0)
         keep = _interior_mask(plan, 0, dtype)
         if overlap:
-            ghosts = _face_ghosts(v, plan.mesh_shape)
+            ghosts = _face_ghosts(v, plan.mesh_shape, names=names)
             av = _stencil_overlap(
                 v, ghosts, stencil, inv_h2, plan.block[0]
             )
         else:
-            asm = _halo_exchange(v, plan.mesh_shape)
+            asm = _halo_exchange(v, plan.mesh_shape, names=names)
             av = _stencil_assembled(asm, stencil, inv_h2, plan.block[0])
         if params.mode == Mode.NEWTON:
             nv = aux[0]
@@ -1229,7 +1339,7 @@ def _build_residual_norm(params: GridParams, mesh: Mesh, plan: SpmdPlan,
         _shard_map(
             local_r0,
             mesh=mesh,
-            in_specs=tuple([P("x", "y", "z")] * n_in),
+            in_specs=tuple([P("x", plan.names[1], None)] * n_in),
             out_specs=P(),
             check_rep=False,
         )
@@ -1401,7 +1511,9 @@ def spmd_eligible(params: GridParams, mesh_shape) -> Optional[str]:
     dims = params.level_dims()
     if len(dims) < 2:
         return "single-level grid"
-    if any(dims[0][a] < mesh_shape[a] for a in range(3)):
+    # The z mesh axis folds into the y data decomposition (SpmdPlan).
+    folded = (mesh_shape[0], mesh_shape[1] * mesh_shape[2], 1)
+    if any(dims[0][a] < folded[a] for a in range(3)):
         return f"grid {dims[0]} too small for mesh {tuple(mesh_shape)}"
     return None
 
@@ -1416,7 +1528,7 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
     gamma = params.gamma
     hs = [params.level_h(l) for l in range(nlev)]
     overlap = _face_taps_only(stencil)
-    dist_spec = P("x", "y", "z")
+    dist_spec = P("x", plan.names[1], None)
     repl_spec = P()
 
     def _specs(n_dist_arrs, n_repl_arrs):
@@ -1431,12 +1543,12 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
         inv_h2 = 1.0 / (hs[0] * hs[0])
         keep = _interior_mask(plan, 0, dtype)
         if overlap:
-            ghosts = _face_ghosts(nv, plan.mesh_shape)
+            ghosts = _face_ghosts(nv, plan.mesh_shape, names=plan.names)
             av = _stencil_overlap(
                 nv, ghosts, stencil, inv_h2, plan.block[0]
             )
         else:
-            asm = _halo_exchange(nv, plan.mesh_shape)
+            asm = _halo_exchange(nv, plan.mesh_shape, names=plan.names)
             av = _stencil_assembled(asm, stencil, inv_h2, plan.block[0])
         av = av + gamma * nv * jnp.exp(nv)
         F = jnp.where(keep, newton_f - av, jnp.zeros_like(nv))
@@ -1460,7 +1572,8 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
         nvs = list(nvs)
         for l in range(min(nd, nlev - 2)):
             asm = _halo_exchange(
-                _clean_level(plan, l, nvs[l]), plan.mesh_shape
+                _clean_level(plan, l, nvs[l]), plan.mesh_shape,
+                names=plan.names,
             )
             if l + 1 < nd:
                 cb = plan.block[l + 1]

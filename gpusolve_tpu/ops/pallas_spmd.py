@@ -20,8 +20,19 @@ and composed into the stencil in-register:
     ghosts are identically zero (the global Dirichlet boundary), so the
     kernels stream the dense ``round_up(nz+1, 128)`` lane extent and
     synthesise the z halo by zero-masking the rolled-in wrap column, exactly
-    like pallas_vcycle2's dense-z scheme.  Z-split meshes fall back to the
-    jnp formulation.
+    like pallas_vcycle2's dense-z scheme.  A z mesh axis therefore never
+    reaches these kernels: dist/spmd.SpmdPlan FOLDS it into the y data
+    decomposition (the grid's y axis shards over the flattened ('y','z')
+    device-axis pair), so 3-D torus meshes still run every eligible level
+    on the Pallas path at full lane occupancy.
+
+Y-split meshes run natively: the per-op kernels compose the ppermuted y
+ghost faces in-register, and the trapezoid legs (``_make_leg`` with
+``ghy=8``) run the 2-D communication-avoiding form — 8-row y-face slabs
+plus y-extended x-face slabs (diagonal corners forwarded by the two-stage
+exchange), every sweep generation recomputed one row shorter into the y
+ghost zone, and the fused restriction/prolongation/tau consumers exact at
+shard edges from that recompute.
 
 Shard-dependent geometry (which local cells are globally interior) cannot be
 baked in at trace time under SPMD — every shard runs the same program — so
@@ -912,10 +923,41 @@ def _prolong_pad_matrix(cp_: int, fp: int, fn: int, dtype):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
+def _restrict_y_matrix_split(bye: int, nc: int, ghy: int, dtype,
+                             coff: int = 0):
+    """(bye, nc) full-weighting y factor in EXTENDED block coordinates
+    (y-split trapezoid): slot r maps to coarse block row r - coff, which
+    reads extended fine rows 2(r-coff)+ghy-1..+1.  No static validity —
+    exterior fine rows are zero by the residual's interior masking, and
+    coarse-halo zeroing is shard-dependent (applied from bounds in the
+    kernel)."""
+    ff = jax.lax.broadcasted_iota(jnp.int32, (bye, nc), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bye, nc), 1)
+    d = ff - (2 * (cc - coff) + ghy)
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    return w.astype(dtype)
+
+
+def _prolong_pad_matrix_split(cp_: int, fp: int, ghy: int, dtype):
+    """(cp_, fp) trilinear factor in EXTENDED block coordinates (y-split):
+    extended fine row mm reads extended coarse slots with
+    ``d = mm - 2·cc + ghy`` ∈ {-1, 0, 1} (shard x/y block starts are
+    even).  Fine-row validity is enforced by the generation write masks
+    (global interior from bounds), not statically."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (cp_, fp), 1)
+    d = mm - 2 * cc + ghy
+    w = jnp.where(d == 0, 1.0, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.5, w)
+    return w.astype(dtype)
+
+
 def _make_leg(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
     src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
     r_cby: int, r_cny: int, tau_h: float = 0.0, sub_rv: bool = False,
+    ghy: int = 0,
 ):
     """Build one trapezoid-leg *emitter*: returns ``(leg, n_in, scratch,
     outs)`` where ``leg(refs)`` emits the complete leg body given a flat
@@ -924,6 +966,23 @@ def _make_leg(
     output ShapeDtypeStruct list (first entry SMEM when it is the norm
     scalar).  The standalone per-leg kernel (_multi_sweep_call) and the
     pod-scale whole-cycle kernel (ops/pallas_pod) both chain this emitter.
+
+    ``ghy > 0`` (always 8) enables the Y-SPLIT trapezoid: every in-VMEM
+    plane is widened to ``bye = by + 2*ghy`` rows, the caller exchanges
+    8-row y-face slabs per field (plus y-EXTENDED x-face slabs — the
+    two-stage exchange forwards the diagonal neighbours' corners,
+    dist/spmd._slabs_multi) and each sweep generation recomputes the y
+    ghost rows too (the 2-D trapezoid: validity shrinks one row per sweep
+    from each extended edge, S + 2 <= ghy keeps every consumed row
+    valid).  Interior masks split in two: generation writes mask by
+    GLOBAL interior (bounds slots 8/9 carry the shard's global y start
+    and ny — ghost rows are the neighbour's real cells), while norm /
+    restriction outputs mask by the LOCAL rows (slots 2/3, shifted by
+    ghy).  With ``consumer='restrict'`` the y full-weighting contraction
+    runs in block coordinates (coarse row j reads extended fine rows
+    2j+ghy±1 — exact at shard edges from the ghost-zone recompute), and
+    the FAS tau fold stages the restricted v on a y-extended ring so its
+    shard-edge y taps are exact.
 
     Trapezoid multi-sweep with optional fused producer/consumers:
 
@@ -938,8 +997,9 @@ def _make_leg(
     * ``consumer='restrict'``: post-sweep residual + FULL x/y/z
       full-weighting restriction to an (bx/2, r_cby, czz) output — the
       down leg's complete coarse-RHS producer without re-streaming v,f
-      (y in-kernel is legal because the trapezoid gate already requires
-      the y mesh axis unsplit).  Unlike residual_restrict_block there is
+      (exact under the y split too: the shard-edge coarse rows read the
+      ghost-zone-recomputed fine residual).  Unlike
+      residual_restrict_block there is
       NO r_last shard fix-up: the trapezoid's ghost-zone recompute makes
       the local r[-1] plane exact (its dependency cone reaches S+2 <= 8
       planes into the streamed ghost slab), so coarse plane 0 is complete
@@ -957,6 +1017,7 @@ def _make_leg(
     taps = tuple(zip(stencil_values, stencil_offsets))
     dtype = jnp.dtype(dtype_name)
     bx, by, bz = block
+    bye = by + 2 * ghy  # extended in-VMEM plane rows (y-split trapezoid)
     with_norm = consumer == "norm"
     restrict = consumer == "restrict"
     cbx = bx // 2
@@ -986,17 +1047,29 @@ def _make_leg(
         v_ref = next(it) if stream_v else None
         f_ref = next(it)
         nv_ref = next(it) if has_nv else None
-        vlo = next(it) if stream_v else None
-        vhi = next(it) if stream_v else None
-        flo, fhi = next(it), next(it)
-        if has_nv:
-            nvlo, nvhi = next(it), next(it)
+
+        def _slab_group():
+            """(xlo, xhi[, ylo, yhi]) — y slabs only under the y-split."""
+            lo, hi = next(it), next(it)
+            if ghy:
+                return lo, hi, next(it), next(it)
+            return lo, hi, None, None
+
+        if stream_v:
+            vlo, vhi, vylo, vyhi = _slab_group()
         else:
-            nvlo = nvhi = None
+            vlo = vhi = vylo = vyhi = None
+        flo, fhi, fylo, fyhi = _slab_group()
+        if has_nv:
+            nvlo, nvhi, nvylo, nvyhi = _slab_group()
+        else:
+            nvlo = nvhi = nvylo = nvyhi = None
         if src_corr:
-            c_ref, clo, chi = next(it), next(it), next(it)
+            c_ref = next(it)
+            clo, chi, cylo, cyhi = _slab_group()
         if sub_rv:
-            rv_ref, rvlo, rvhi = next(it), next(it), next(it)
+            rv_ref = next(it)
+            rvlo, rvhi, rvylo, rvyhi = _slab_group()
         b_ref = next(it)
         out_ref = next(it)
         sum_ref = next(it) if with_norm else None
@@ -1015,13 +1088,22 @@ def _make_leg(
         vr3 = next(it) if fold_tau else None
         sem = next(it)
 
-        yi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 0)
-        zi = jax.lax.broadcasted_iota(jnp.int32, (by, zz), 1)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (bye, zz), 0)
+        zi = jax.lax.broadcasted_iota(jnp.int32, (bye, zz), 1)
+        keep_z = (zi >= b_ref[0, 4]) & (zi <= b_ref[0, 5])
+        # LOCAL interior rows (slots 2/3, shifted into extended coords).
         keep_yz = (
-            (yi >= b_ref[0, 2]) & (yi <= b_ref[0, 3])
-            & (zi >= b_ref[0, 4]) & (zi <= b_ref[0, 5])
+            (yi >= b_ref[0, 2] + ghy) & (yi <= b_ref[0, 3] + ghy)
+            & keep_z
         )
-        zero_plane = jnp.zeros((by, zz), dtype)
+        if ghy:
+            # GLOBAL interior (generation writes: the ghost rows are the
+            # y neighbour's real interior cells — bounds slots 8/9).
+            gyg = b_ref[0, 8] + (yi - ghy)
+            keep_yz_gen = (gyg >= 1) & (gyg <= b_ref[0, 9]) & keep_z
+        else:
+            keep_yz_gen = keep_yz
+        zero_plane = jnp.zeros((bye, zz), dtype)
 
         def r16(q):
             return (q + 48) % 16
@@ -1031,18 +1113,22 @@ def _make_leg(
 
         def in_slabs(s, start):
             """Composite-source slab DMA: slab 0 = lo ghost, slabs
-            1..bx/8 = the block, last slab = hi ghost.  Exactly one of the
-            three copies per (array, slot) starts; all share the slot's
-            semaphore, so the wait pairs with whichever ran."""
+            1..bx/8 = the block, last slab = hi ghost.  Exactly one
+            alternative per (array, slot) starts — the y-extended x ghost
+            slab at the edges, or (y-split) the core rows plus the two
+            y-face slab chunks — all on the slot's semaphore; the edge
+            slab's byte count equals the core+y-chunks sum (bye = by +
+            2·ghy), so the single unconditional wait pairs with whichever
+            alternative ran."""
             slot = (s % 2) * _GH
-            sets = [(f_ref, flo, fhi, sf, 1)]
+            sets = [(f_ref, flo, fhi, fylo, fyhi, sf, 1)]
             if stream_v:
-                sets.append((v_ref, vlo, vhi, sv, 0))
+                sets.append((v_ref, vlo, vhi, vylo, vyhi, sv, 0))
             if has_nv:
-                sets.append((nv_ref, nvlo, nvhi, snv, 2))
+                sets.append((nv_ref, nvlo, nvhi, nvylo, nvyhi, snv, 2))
             if sub_rv:
-                sets.append((rv_ref, rvlo, rvhi, srv, 7))
-            for ref, lo, hi, dst, si in sets:
+                sets.append((rv_ref, rvlo, rvhi, rvylo, rvyhi, srv, 7))
+            for ref, lo, hi, ylo_, yhi_, dst, si in sets:
                 if start:
                     @pl.when(s == 0)
                     def _(lo=lo, dst=dst, si=si):
@@ -1052,12 +1138,33 @@ def _make_leg(
                         ).start()
 
                     @pl.when((s >= 1) & (s < NSLAB - 1))
-                    def _(ref=ref, dst=dst, si=si):
-                        pltpu.make_async_copy(
-                            ref.at[pl.ds((s - 1) * _GH, _GH), :, :zz],
-                            dst.at[pl.ds(slot, _GH)],
-                            sem.at[si, (s % 2)],
-                        ).start()
+                    def _(ref=ref, ylo_=ylo_, yhi_=yhi_, dst=dst, si=si):
+                        src = pl.ds((s - 1) * _GH, _GH)
+                        if ghy:
+                            pltpu.make_async_copy(
+                                ref.at[src, :, :zz],
+                                dst.at[pl.ds(slot, _GH), pl.ds(ghy, by)],
+                                sem.at[si, (s % 2)],
+                            ).start()
+                            pltpu.make_async_copy(
+                                ylo_.at[src, :, :zz],
+                                dst.at[pl.ds(slot, _GH), pl.ds(0, ghy)],
+                                sem.at[si, (s % 2)],
+                            ).start()
+                            pltpu.make_async_copy(
+                                yhi_.at[src, :, :zz],
+                                dst.at[
+                                    pl.ds(slot, _GH),
+                                    pl.ds(ghy + by, ghy),
+                                ],
+                                sem.at[si, (s % 2)],
+                            ).start()
+                        else:
+                            pltpu.make_async_copy(
+                                ref.at[src, :, :zz],
+                                dst.at[pl.ds(slot, _GH)],
+                                sem.at[si, (s % 2)],
+                            ).start()
 
                     @pl.when(s == NSLAB - 1)
                     def _(hi=hi, dst=dst, si=si):
@@ -1074,7 +1181,9 @@ def _make_leg(
         def c_slab(s, start):
             """Coarse composite slab DMA (src_corr): slab 0 = clo ghost,
             1..cbx/8 = coarse block, last = chi ghost; half-rate ring of
-            16 planes, semaphore row 6."""
+            16 planes, semaphore row 6.  Y-split: core rows land shifted
+            by ghy with the coarse y-face slab chunks beside them (same
+            byte-count-paired wait as in_slabs)."""
             slot = (s % 2) * _GH
             if start:
                 @pl.when(s == 0)
@@ -1086,11 +1195,31 @@ def _make_leg(
 
                 @pl.when((s >= 1) & (s < NSC - 1))
                 def _():
-                    pltpu.make_async_copy(
-                        c_ref.at[pl.ds((s - 1) * _GH, _GH), :, :czp],
-                        scc.at[pl.ds(slot, _GH)],
-                        sem.at[6, (s % 2)],
-                    ).start()
+                    src = pl.ds((s - 1) * _GH, _GH)
+                    if ghy:
+                        pltpu.make_async_copy(
+                            c_ref.at[src, :, :czp],
+                            scc.at[pl.ds(slot, _GH), pl.ds(ghy, cby)],
+                            sem.at[6, (s % 2)],
+                        ).start()
+                        pltpu.make_async_copy(
+                            cylo.at[src, :, :czp],
+                            scc.at[pl.ds(slot, _GH), pl.ds(0, ghy)],
+                            sem.at[6, (s % 2)],
+                        ).start()
+                        pltpu.make_async_copy(
+                            cyhi.at[src, :, :czp],
+                            scc.at[
+                                pl.ds(slot, _GH), pl.ds(ghy + cby, ghy)
+                            ],
+                            sem.at[6, (s % 2)],
+                        ).start()
+                    else:
+                        pltpu.make_async_copy(
+                            c_ref.at[src, :, :czp],
+                            scc.at[pl.ds(slot, _GH)],
+                            sem.at[6, (s % 2)],
+                        ).start()
 
                 @pl.when(s == NSC - 1)
                 def _():
@@ -1106,9 +1235,13 @@ def _make_leg(
 
         def out_chunk(c, wait=False):
             # Plane q lives at ring slot r16(q + 8): chunk c (planes
-            # [8c, 8c+8)) occupies slot group ((c+1) % 2) * 8.
+            # [8c, 8c+8)) occupies slot group ((c+1) % 2) * 8.  Only the
+            # local rows write back (the y ghost rows belong to the
+            # neighbour, which computes them itself).
             cp = pltpu.make_async_copy(
-                outst.at[pl.ds(((c + 1) % 2) * _GH, _GH)],
+                outst.at[
+                    pl.ds(((c + 1) % 2) * _GH, _GH), pl.ds(ghy, by)
+                ] if ghy else outst.at[pl.ds(((c + 1) % 2) * _GH, _GH)],
                 out_ref.at[pl.ds(c * _GH, _GH), :, :zz],
                 sem.at[3, (c % 2)],
             )
@@ -1152,7 +1285,7 @@ def _make_leg(
                 term = read_plane(ox)
                 if oy:
                     term = _roll(term, -oy, 0)
-                    edge = 0 if oy < 0 else by - 1
+                    edge = 0 if oy < 0 else bye - 1
                     term = jnp.where(yi == edge, 0.0, term).astype(dtype)
                 elif oz:
                     term = _roll(term, -oz, 1)
@@ -1176,18 +1309,41 @@ def _make_leg(
             return center + omega * (rr / (pre_fac + lin))
 
         def keep_at(cq):
-            """Interior mask at composite plane cq: static y/z bounds plus
-            the GLOBAL x interior (bounds slots 6/7: shard global start and
-            nx) — ghost-zone generations must reproduce the neighbour's
-            values, whose cells are globally interior."""
+            """Interior mask at composite plane cq: z bounds plus the
+            GLOBAL x and y interiors (bounds slots 6/7 and 8/9) — ghost-
+            zone generations must reproduce the neighbour's values, whose
+            cells are globally interior."""
+            gq = b_ref[0, 6] + (cq - _GH)
+            inx = (gq >= 1) & (gq <= b_ref[0, 7])
+            return inx & keep_yz_gen
+
+        def keep_loc_at(cq):
+            """Consumer mask: global x interior ∧ LOCAL rows (the y ghost
+            rows belong to the neighbour's norm/restriction)."""
             gq = b_ref[0, 6] + (cq - _GH)
             inx = (gq >= 1) & (gq <= b_ref[0, 7])
             return inx & keep_yz
 
         if restrict:
             wz = _restrict_z_matrix(zz, czz, cnz, dtype)
-            wy = _restrict_y_matrix(by, r_cby, r_cny, dtype)
+            if ghy:
+                wy = _restrict_y_matrix_split(bye, r_cby, ghy, dtype)
+                cyi2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (r_cby, czz), 0
+                )
+                gyc2 = b_ref[0, 8] // 2 + cyi2
+                cym = (gyc2 >= 1) & (gyc2 <= (b_ref[0, 9] - 1) // 2)
+            else:
+                wy = _restrict_y_matrix(by, r_cby, r_cny, dtype)
+                cym = None
             czero2 = jnp.zeros((r_cby, czz), dtype)
+
+            def cy_mask(a):
+                """Zero the global coarse y-halo rows — under the y split
+                this is shard-dependent (the static matrix validity of the
+                unsplit path can't encode it)."""
+                return jnp.where(cym, a, jnp.zeros_like(a)) \
+                    if ghy else a
 
             def zc(p2d):
                 # full y+z contraction: (by, zz) -> (r_cby, czz)
@@ -1202,7 +1358,12 @@ def _make_leg(
                 ).astype(dtype)
 
         if src_corr:
-            py = _prolong_pad_matrix(cby, by, c_ny, dtype)
+            if ghy:
+                py = _prolong_pad_matrix_split(
+                    cby + 2 * ghy, bye, ghy, dtype
+                )
+            else:
+                py = _prolong_pad_matrix(cby, by, c_ny, dtype)
             pz = _prolong_pad_matrix(czp, zz, c_nz, dtype)
 
             def prolong_yz(cplane):
@@ -1359,7 +1520,9 @@ def _make_leg(
                 # [1, bx-1); the caller adds the two x-edge planes.
                 total, comp = carry
                 cond = (q >= 1) & (q < bx - 1)
-                rr = jnp.where(keep_at(cq) & cond, res_at(), zero_plane)
+                rr = jnp.where(
+                    keep_loc_at(cq) & cond, res_at(), zero_plane
+                )
                 part = jnp.sum(rr.astype(jnp.float32) ** 2)
                 y = part - comp
                 tt = total + y
@@ -1410,7 +1573,7 @@ def _make_leg(
                     gxm0 = b_ref[0, 6] // 2 + m
                     cnx0 = (b_ref[0, 7] - 1) // 2
                     inx0 = (gxm0 >= 1) & (gxm0 <= cnx0)
-                    out_c = zc(sx_c)
+                    out_c = cy_mask(zc(sx_c))
                     cst[m % 16] = jnp.where(
                         inx0, out_c, jnp.zeros_like(out_c)
                     )
@@ -1438,8 +1601,39 @@ def _make_leg(
                         gxm = b_ref[0, 6] // 2 + m
                         cnxg = (b_ref[0, 7] - 1) // 2
                         inx = (gxm >= 1) & (gxm <= cnxg)
-                        vc = jnp.where(inx, zc(vx_c), czero2)
-                        if fold_tau:
+                        vc = jnp.where(inx, cy_mask(zc(vx_c)), czero2)
+                        if fold_tau and ghy:
+                            # Extended staging: the tau fold's shard-edge
+                            # y taps read coarse ghost rows (exact from
+                            # the trapezoid's ghost-zone recompute), with
+                            # the global coarse y halo zeroed like the
+                            # unsplit matrix validity did.
+                            wy_v = _restrict_y_matrix_split(
+                                bye, r_cby + 2 * ghy, ghy, dtype,
+                                coff=ghy,
+                            )
+                            tmp = jnp.dot(
+                                vx_c, wz,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                            vce = jnp.dot(
+                                wy_v.T, tmp.astype(dtype),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            ).astype(dtype)
+                            cyie = jax.lax.broadcasted_iota(
+                                jnp.int32, (r_cby + 2 * ghy, czz), 0
+                            )
+                            gyce = b_ref[0, 8] // 2 + (cyie - ghy)
+                            cyme = (
+                                (gyce >= 1)
+                                & (gyce <= (b_ref[0, 9] - 1) // 2)
+                            )
+                            vr3[r3(m)] = jnp.where(
+                                inx & cyme, vce, jnp.zeros_like(vce)
+                            )
+                        elif fold_tau:
                             vr3[r3(m)] = vc
 
                         @pl.when((m >= 0) & (m < cbx))
@@ -1454,12 +1648,13 @@ def _make_leg(
 
                     @pl.when(m_ready & (mt >= 0) & (mt < cbx))
                     def _():
+                        rye = r_cby + 2 * ghy  # tau staging rows
                         v0 = vr3[r3(mt)]
                         yi2 = jax.lax.broadcasted_iota(
-                            jnp.int32, (r_cby, czz), 0
+                            jnp.int32, (rye, czz), 0
                         )
                         zi2 = jax.lax.broadcasted_iota(
-                            jnp.int32, (r_cby, czz), 1
+                            jnp.int32, (rye, czz), 1
                         )
                         acc = None
                         for val, (ox, oy, oz) in taps:
@@ -1469,7 +1664,7 @@ def _make_leg(
                                 term = vr3[r3(mt + 1)]
                             elif oy:
                                 term = _roll(v0, -oy, 0)
-                                edge = 0 if oy < 0 else r_cby - 1
+                                edge = 0 if oy < 0 else rye - 1
                                 term = jnp.where(
                                     yi2 == edge, 0.0, term
                                 ).astype(dtype)
@@ -1484,15 +1679,27 @@ def _make_leg(
                             term = val * term
                             acc = term if acc is None else acc + term
                         tau = acc * inv_h2c + gamma * v0 * jnp.exp(v0)
+                        if ghy:
+                            tau = tau[ghy : ghy + r_cby]
                         # Coarse global-interior mask: the shard's coarse
                         # x start is half its fine start (bounds slot 6),
-                        # the global coarse extent (nx_f - 1)/2.
+                        # the global coarse extent (nx_f - 1)/2; under the
+                        # y split the y condition is global too (cym).
                         gxc = b_ref[0, 6] // 2 + mt
                         cnxg = (b_ref[0, 7] - 1) // 2
+                        yi2l = jax.lax.broadcasted_iota(
+                            jnp.int32, (r_cby, czz), 0
+                        )
+                        zi2l = jax.lax.broadcasted_iota(
+                            jnp.int32, (r_cby, czz), 1
+                        )
                         ckeep = (
                             (gxc >= 1) & (gxc <= cnxg)
-                            & (yi2 >= 1) & (yi2 <= r_cny)
-                            & (zi2 >= 1) & (zi2 <= cnz)
+                            & (
+                                cym if ghy
+                                else (yi2l >= 1) & (yi2l <= r_cny)
+                            )
+                            & (zi2l >= 1) & (zi2l <= cnz)
                         )
                         cst[mt % 16] = cst[mt % 16] + jnp.where(
                             ckeep, tau, jnp.zeros_like(tau)
@@ -1530,32 +1737,37 @@ def _make_leg(
         if with_norm:
             sum_ref[0, 0] = carry[0]
 
-    n_in = (1 if stream_v else 0) + 1 + (1 if has_nv else 0)
-    n_in += (2 if stream_v else 0) + 2 + (2 if has_nv else 0)
+    n_fields = (1 if stream_v else 0) + 1 + (1 if has_nv else 0)
+    per_slab = 4 if ghy else 2  # x-face pair [+ y-face pair (y-split)]
+    n_in = n_fields + per_slab * n_fields
     if src_corr:
-        n_in += 3  # coarse block + its two x-face ghost slabs
+        n_in += 1 + per_slab  # coarse block + its ghost slabs
     if sub_rv:
-        n_in += 3  # rest_v block + its two x-face ghost slabs
+        n_in += 1 + per_slab  # rest_v block + its ghost slabs
     scratch = []
     if stream_v:
-        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # sv
-    scratch.append(pltpu.VMEM((16, by, zz), dtype))      # sf
+        scratch.append(pltpu.VMEM((16, bye, zz), dtype))  # sv
+    scratch.append(pltpu.VMEM((16, bye, zz), dtype))      # sf
     if has_nv:
-        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # snv
+        scratch.append(pltpu.VMEM((16, bye, zz), dtype))  # snv
     for _ in range(max(S - 1 + goff, 1)):
-        scratch.append(pltpu.VMEM((3, by, zz), dtype))   # gen rings
-    scratch.append(pltpu.VMEM((16, by, zz), dtype))      # out staging
+        scratch.append(pltpu.VMEM((3, bye, zz), dtype))   # gen rings
+    scratch.append(pltpu.VMEM((16, bye, zz), dtype))      # out staging
     if src_corr:
-        scratch.append(pltpu.VMEM((16, cby, czp), dtype))  # coarse ring
+        scratch.append(
+            pltpu.VMEM((16, cby + 2 * ghy, czp), dtype)   # coarse ring
+        )
     if sub_rv:
-        scratch.append(pltpu.VMEM((16, by, zz), dtype))  # srv ring
+        scratch.append(pltpu.VMEM((16, bye, zz), dtype))  # srv ring
     if restrict:
-        scratch.append(pltpu.VMEM((3, by, zz), dtype))   # residual ring
+        scratch.append(pltpu.VMEM((3, bye, zz), dtype))   # residual ring
         scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst staging
         if fas:
             scratch.append(pltpu.VMEM((16, r_cby, czz), dtype))  # cst2
         if fold_tau:
-            scratch.append(pltpu.VMEM((3, r_cby, czz), dtype))  # vr3
+            scratch.append(
+                pltpu.VMEM((3, r_cby + 2 * ghy, czz), dtype)  # vr3
+            )
     scratch.append(pltpu.SemaphoreType.DMA((8, 2)))
 
     outs = [jax.ShapeDtypeStruct(block, dtype)]
@@ -1574,11 +1786,12 @@ def _multi_sweep_call(
     block, zz, dtype_name, key, h: float, S: int, src_zero: bool,
     src_corr: bool, corr_geom, consumer, czz: int, cnz: int,
     r_cby: int, r_cny: int, interpret: bool, tau_h: float = 0.0,
+    ghy: int = 0,
 ):
     """Standalone per-leg pallas_call around one ``_make_leg`` emitter."""
     leg, n_in, scratch, outs = _make_leg(
         block, zz, dtype_name, key, h, S, src_zero, src_corr, corr_geom,
-        consumer, czz, cnz, r_cby, r_cny, tau_h,
+        consumer, czz, cnz, r_cby, r_cny, tau_h, ghy=ghy,
     )
 
     def kernel(*refs):
@@ -1775,7 +1988,7 @@ def multi_sweep_block(
     consumer=None, czz: int = 0, cnz: int = 0,
     r_cby: int = 0, r_cny: int = 0,
     coarse=None, czp: int = 0, c_ny: int = 0, c_nz: int = 0,
-    interpret: bool = False, tau_h: float = 0.0,
+    interpret: bool = False, tau_h: float = 0.0, ghy: int = 0,
 ):
     """All ``n_iter`` damped-Jacobi sweeps of one leg in a single streaming
     pass (communication-avoiding: the caller exchanges the 8-plane x-face
@@ -1802,7 +2015,7 @@ def multi_sweep_block(
     call = _multi_sweep_call(
         (v.shape if not src_zero else f.shape), zz, f.dtype.name,
         _compile_key(params), h, n_iter, src_zero, src_corr, corr_geom,
-        consumer, czz, cnz, r_cby, r_cny, interpret, tau_h,
+        consumer, czz, cnz, r_cby, r_cny, interpret, tau_h, ghy,
     )
     args = []
     if not src_zero:

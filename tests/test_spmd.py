@@ -33,7 +33,7 @@ def make_params(dims=(31, 31, 31), maxiter=4, **kw):
 
 def test_plan_shapes():
     p = make_params(dims=(31, 31, 31))
-    plan = SpmdPlan(p, (2, 2, 2), cutoff=4)
+    plan = SpmdPlan(p, (2, 2, 1), cutoff=4)
     # 31,15,7,3,1 — distributed while interior//2 >= 4: 31 (15), 15 (7) -> 2
     assert plan.n_dist == 2
     # mesh-aware alloc halves exactly between distributed levels
@@ -42,7 +42,21 @@ def test_plan_shapes():
         assert plan.alloc[0][a] % 2 == 0
         assert plan.alloc[0][a] >= 33
         assert plan.alloc[1][a] >= 17
-        assert plan.block[0][a] == plan.alloc[0][a] // 2
+        assert plan.block[0][a] == plan.alloc[0][a] // plan.mesh_shape[a]
+
+
+def test_plan_folds_z_mesh_into_y():
+    """The z data axis is the TPU lane axis and is never split: a z mesh
+    axis folds into the y data decomposition (collectives ride the
+    flattened ('y','z') device-axis pair) — SpmdPlan docstring."""
+    p = make_params(dims=(63, 63, 63))
+    plan = SpmdPlan(p, (2, 2, 2), cutoff=4)
+    assert plan.device_mesh == (2, 2, 2)
+    assert plan.mesh_shape == (2, 4, 1)
+    assert plan.names == ("x", ("y", "z"), "z")
+    for l in range(plan.n_dist):
+        assert plan.block[l][2] == plan.alloc[l][2]  # z unsplit
+        assert plan.block[l][1] == plan.alloc[l][1] // 4
 
 
 @pytest.mark.parametrize("dims", [(31, 31, 31), (15, 31, 15)])

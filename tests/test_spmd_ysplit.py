@@ -1,0 +1,94 @@
+"""Y-split fast-path tests (round-3 VERDICT item 1).
+
+The trapezoid legs and their fused consumers now run on y-split meshes
+(ops/pallas_spmd._make_leg with ghy=8: 8-row y-face slabs, ghost rows
+recomputed per sweep), and a z mesh axis folds into the y data
+decomposition (dist/spmd.SpmdPlan) so 3-D torus meshes keep full lane
+occupancy.  Histories must match the jnp local-compute engine (same
+numerics, MXU-vs-VPU summation reordering only).
+"""
+
+import numpy as np
+import pytest
+
+from gpusolve_tpu.config import GridParams, Mode, Stencil
+from gpusolve_tpu.dist import make_mesh
+from gpusolve_tpu.dist.spmd import (
+    build_spmd_solver,
+    newton_solve_spmd,
+    solve_spmd,
+)
+
+
+def _params(mode, gamma, grid, maxiter=2):
+    return GridParams(
+        maxiter=maxiter,
+        tol=1e-30,
+        grid_dim=grid,
+        mode=mode,
+        pre_smoothing=2,
+        post_smoothing=2,
+        omega=0.8,
+        gamma=gamma,
+        stencil=Stencil.poisson_7pt(),
+        print_progress=False,
+        dtype="float32",
+    )
+
+
+def test_ysplit_trapezoid_engages():
+    """(1,2,1): the finest level must take the Pallas trapezoid path
+    (before round 3 the trapezoid gate required the y axis unsplit)."""
+    p = _params(Mode.LINEAR, 0.0, (31, 31, 127))
+    _, _, plan = build_spmd_solver(
+        p, make_mesh((1, 2, 1)), 2, "pallas", "ppermute", "leg"
+    )
+    assert plan.ps_levels[0]
+
+
+def test_ysplit_fused_legs_engage():
+    """(2,2,1) at a 16|bx geometry: the single-pass fused down and up
+    legs must engage under the y split."""
+    p = _params(Mode.LINEAR, 0.0, (63, 63, 255))
+    _, _, plan = build_spmd_solver(
+        p, make_mesh((2, 2, 1)), 2, "pallas", "ppermute", "leg"
+    )
+    assert plan.fused_down_levels, "fused down leg should engage"
+    assert plan.fused_up_levels, "fused up leg should engage"
+
+
+@pytest.mark.parametrize(
+    "mode, gamma",
+    [(Mode.LINEAR, 0.0), (Mode.NONLINEAR, 1.0), (Mode.NEWTON, 1.0)],
+    ids=["linear", "nonlinear", "newton"],
+)
+def test_ysplit_fused_legs_match_xla(mode, gamma):
+    """(2,2,1) mesh, geometry engaging the fused trapezoid down leg
+    (with the FAS tau fold) and the corr-first fused up leg, both under
+    the y split: histories must match the jnp engine."""
+    p = _params(mode, gamma, (63, 63, 255))
+    mesh = make_mesh((2, 2, 1))
+    solver = newton_solve_spmd if mode == Mode.NEWTON else solve_spmd
+    _, hist_x, _ = solver(p, mesh, cutoff=2, local_backend="xla")
+    _, hist_p, plan = solver(p, mesh, cutoff=2, local_backend="pallas")
+    assert plan.fused_down_levels and plan.fused_up_levels
+    rtol = 2e-4 if mode == Mode.NEWTON else 3e-5
+    np.testing.assert_allclose(hist_p, hist_x, rtol=rtol)
+
+
+def test_z_mesh_axis_folds_into_y_pallas():
+    """A (2,2,2) device mesh folds to a (2,4,1) data decomposition and
+    still runs the Pallas local path on the finest level."""
+    # cutoff=1 deepens the distributed hierarchy so the mesh-aware
+    # allocation's 2^n_dist rounding yields DMA-alignable blocks at this
+    # small test size (production sizes align at the default cutoff).
+    p = _params(Mode.LINEAR, 0.0, (31, 31, 127), maxiter=3)
+    mesh = make_mesh((2, 2, 2))
+    _, _, plan = build_spmd_solver(
+        p, mesh, 1, "pallas", "ppermute", "leg"
+    )
+    assert plan.mesh_shape == (2, 4, 1)
+    assert plan.ps_levels[0]
+    _, hist_x, _ = solve_spmd(p, mesh, cutoff=1, local_backend="xla")
+    _, hist_p, _ = solve_spmd(p, mesh, cutoff=1, local_backend="pallas")
+    np.testing.assert_allclose(hist_p, hist_x, rtol=3e-5)
