@@ -134,6 +134,93 @@ def wavefront_traffic_model(params, itemsize: int):
     return bytes_
 
 
+def _xplane_device_ms(trace_dir: str, match: str):
+    """Sum the device-side durations (ms) of XLA modules whose name
+    contains ``match`` in a jax.profiler xplane trace — the tunnel-immune
+    measurement of kernel time (host wall time through the axon tunnel
+    carries launch/fetch latency the chip never sees)."""
+    import glob
+    import importlib.util
+
+    pb = glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")
+    )
+    if not pb:
+        return None
+    spec = None
+    for cand in glob.glob(
+        "/opt/venv/lib/python3*/site-packages/tensorflow/tsl/profiler/"
+        "protobuf/xplane_pb2.py"
+    ):
+        spec = importlib.util.spec_from_file_location("xplane_pb2", cand)
+        break
+    if spec is None:
+        return None
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    xs = mod.XSpace()
+    with open(pb[0], "rb") as fh:
+        xs.ParseFromString(fh.read())
+    total = 0.0
+    found = False
+    for p in xs.planes:
+        if not p.name.startswith("/device:"):
+            continue
+        em = {k: v.name for k, v in p.event_metadata.items()}
+        for line in p.lines:
+            if line.name != "XLA Modules":
+                continue
+            for ev in line.events:
+                if match in em.get(ev.metadata_id, ""):
+                    total += ev.duration_ps / 1e9
+                    found = True
+    return total if found else None
+
+
+def session_ceiling_gbps() -> float:
+    """This session's streaming ceiling: a chained elementwise pass
+    (read 1 + write 1 volume per step) with many steps per dispatch, so
+    launch/fetch overhead amortises away.  Recorded in the bench JSON so
+    the DMA-ceiling claim travels with same-session evidence
+    (round-2 VERDICT item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    # 512 MB: decisively larger than VMEM (128 MB on v5e) so the chain
+    # streams HBM, not a VMEM-resident buffer.
+    n = 512 * 1024 * 1024 // 4
+    reps = 40  # ~43 GB total: tunnel launch/fetch latency amortises
+
+    @jax.jit
+    def chain(x):
+        for _ in range(reps):
+            # The barrier keeps XLA from fusing the chain into one pass
+            # (a fused chain reads/writes HBM once and "measures" fantasy
+            # bandwidth — the round-2 verdict's own probe trap).
+            x = jax.lax.optimization_barrier(x * 1.0000001 + 1e-12)
+        return x
+
+    import shutil
+    import tempfile
+
+    x = jnp.ones((n,), jnp.float32)
+    chain(x).block_until_ready()  # compile
+    tdir = tempfile.mkdtemp(prefix="bench_ceiling_")
+    try:
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tdir):
+            chain(x).block_until_ready()
+        dt = time.perf_counter() - t0
+        # Prefer the device-side duration (tunnel-immune); fall back to
+        # wall time when no trace materialises.
+        dev_ms = _xplane_device_ms(tdir, "chain")
+        if dev_ms:
+            dt = dev_ms / 1e3
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return 2 * 4 * n * reps / dt / 1e9
+
+
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "511"))
     cycles = int(os.environ.get("BENCH_CYCLES", "10"))
@@ -234,6 +321,42 @@ def main() -> None:
     else:
         # Pass-per-op structure: the model's bytes ARE the physical bytes.
         out["hbm_fraction"] = round(bw_fraction, 4)
+
+    # Self-verifying accounting (round-2 VERDICT item 5): device-side
+    # kernel time from a profiler trace (immune to the axon tunnel's
+    # launch/fetch latency — at 511³ the wall headline carries ~3 ms/cycle
+    # of it) and this session's measured streaming ceiling.
+    try:
+        import shutil
+        import tempfile
+
+        import jax as _jax
+
+        tdir = tempfile.mkdtemp(prefix="bench_prof_")
+        try:
+            state = build_grid(params)
+            state, r0 = vc.residual_norm(state, params=tp)
+            r0 = float(r0)
+            with _jax.profiler.trace(tdir):
+                vc.solve(
+                    state, params, initial_residual=r0,
+                    check_every=check_every,
+                )
+            dev_ms = _xplane_device_ms(tdir, "vcycle")
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if dev_ms:
+            out["device_per_cycle_ms"] = round(dev_ms / cycles, 2)
+            if fused2:
+                dev_gbps = streamed / (dev_ms / cycles / 1e3) / 1e9
+                out["device_hbm_gbps"] = round(dev_gbps, 1)
+                out["device_hbm_fraction"] = round(dev_gbps / peak, 4)
+    except Exception:
+        pass
+    try:
+        out["session_ceiling_gbps"] = round(session_ceiling_gbps(), 1)
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

@@ -102,7 +102,8 @@ def build_argparser() -> argparse.ArgumentParser:
         help="with --dist-engine spmd: one kernel per leg, or the "
         "pod-scale engine — ALL distributed legs per direction in one "
         "kernel with in-kernel RDMA exchange, replicated tail as one "
-        "wavefront mega-kernel (dist/pod.py; x-split meshes)",
+        "wavefront mega-kernel (dist/pod.py; x- and y-split meshes, a "
+        "z mesh axis folds into y)",
     )
     ap.add_argument(
         "--refine", action="store_true",
@@ -250,8 +251,6 @@ def main(argv=None) -> int:
         incompat = [
             ("--dtype float64", args.dtype == "float64"),
             ("--backend cpu-native", native),
-            ("--dist-engine spmd",
-             bool(args.mesh) and args.dist_engine == "spmd"),
             ("--save-state/--load-state",
              bool(args.save_state or args.load_state)),
         ]
@@ -259,8 +258,7 @@ def main(argv=None) -> int:
         if bad:
             print(
                 f"--refine is incompatible with {', '.join(bad)} "
-                "(f32 inner solves with an f64 outer defect; distributed "
-                "refinement runs on the gspmd engine)",
+                "(f32 inner solves with an f64 outer defect)",
                 file=sys.stderr,
             )
             return 1
@@ -301,10 +299,11 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.mesh and args.dist_engine == "spmd":
+        if args.mesh and args.dist_engine == "spmd" and \
+                args.fuse == "pod":
             print(
-                "--cycle W/F is not available on the explicit spmd "
-                "engine; use --dist-engine gspmd",
+                "--cycle W/F is not available on the pod engine; drop "
+                "--fuse pod (per-leg spmd) or use --dist-engine gspmd",
                 file=sys.stderr,
             )
             return 1
@@ -327,10 +326,7 @@ def main(argv=None) -> int:
         if dist_engine == "auto":
             from gpusolve_tpu.dist.spmd import spmd_eligible
 
-            reason = (
-                "--refine runs its inner solves on the gspmd engine"
-                if args.refine else spmd_eligible(params, mesh_shape)
-            )
+            reason = spmd_eligible(params, mesh_shape)
             if reason is None:
                 dist_engine = "spmd"
             else:
@@ -404,21 +400,40 @@ def main(argv=None) -> int:
             )
 
         if args.refine:
-            from gpusolve_tpu.solver.refine import solve_refine
+            from gpusolve_tpu.solver.refine import (
+                solve_refine,
+                solve_refine_spmd,
+            )
 
             refine_shardings = None
-            if args.mesh:
-                from gpusolve_tpu.dist import level_shardings, make_mesh
+            if args.mesh and dist_engine == "spmd":
+                from gpusolve_tpu.dist import make_mesh
 
-                mesh_shape = tuple(int(t) for t in args.mesh.split(","))
-                refine_shardings = level_shardings(
-                    params.replace(dtype="float32"), make_mesh(mesh_shape)
-                )
-            with profile_cm:
-                u, history = solve_refine(
-                    params, inner_tol=args.refine_inner_tol,
-                    shardings=refine_shardings,
-                )
+                lb = args.backend if args.backend in ("xla", "pallas") \
+                    else "auto"
+                with profile_cm:
+                    u, history = solve_refine_spmd(
+                        params, make_mesh(mesh_shape),
+                        inner_tol=args.refine_inner_tol,
+                        local_backend=lb, halo=args.halo,
+                        fuse=args.fuse,
+                    )
+            else:
+                if args.mesh:
+                    from gpusolve_tpu.dist import (
+                        level_shardings,
+                        make_mesh,
+                    )
+
+                    refine_shardings = level_shardings(
+                        params.replace(dtype="float32"),
+                        make_mesh(mesh_shape),
+                    )
+                with profile_cm:
+                    u, history = solve_refine(
+                        params, inner_tol=args.refine_inner_tol,
+                        shardings=refine_shardings,
+                    )
             if args.profile:
                 print(f"Wrote profiler trace to {args.profile}")
             nx, ny, nz = params.grid_dim

@@ -10,9 +10,10 @@ mega-kernel as the replicated coarse tail:
       -> pod_up (all distributed up legs + fused finest-level norm)
 
 Against the per-leg engine (dist/spmd.py) this removes every per-level
-kernel launch, slab-exchange launch, and XLA embed between legs on x-split
-meshes; the per-level trapezoid numerics are byte-identical (the same
-``_make_leg`` emitters run inside the chained kernels).
+kernel launch, slab-exchange launch, and XLA embed between legs on x- and
+y-split meshes (a z mesh axis folds into y, dist/spmd.SpmdPlan); the
+per-level trapezoid numerics are byte-identical (the same ``_make_leg``
+emitters run inside the chained kernels).
 
 Pod level layout: x halves exactly down the chain; y/z extents are per
 level ``round_up(n+2, 8)`` / ``round_up(n+1, 128)`` — see
@@ -51,21 +52,24 @@ from gpusolve_tpu.dist import spmd as _spmd
 _AXES = ("x", "y", "z")
 
 
-def choose_npod(params: GridParams, mesh_x: int,
+def choose_npod(params: GridParams, mesh_xy,
                 cutoff: int = 4) -> Optional[int]:
     """Pick the pod depth minimising estimated per-chip streamed volume:
     pod levels cost their (padded) block volume per chip; the tail costs
     its full hierarchy volume on EVERY chip (redundant replication) — so
     deeper pods pay x-alignment padding at level 0 while shallower pods
-    pay redundant tail work, and the optimum moves with the mesh size."""
+    pay redundant tail work, and the optimum moves with the mesh size.
+    ``mesh_xy`` is the (mx, my) data decomposition."""
+    if isinstance(mesh_xy, int):
+        mesh_xy = (mesh_xy, 1)
     if params.cycle_type != "V":
         return None
     dims = params.level_dims()
     best = None
     for npod in range(1, len(dims)):
-        if not pallas_pod.pod_supported(params, mesh_x, npod):
+        if not pallas_pod.pod_supported(params, mesh_xy, npod):
             continue
-        levels = pallas_pod.pod_levels(params, mesh_x, npod)
+        levels = pallas_pod.pod_levels(params, mesh_xy, npod)
         if levels[npod - 1][0] < max(16, cutoff):
             continue
         tail_params = params.replace(grid_dim=dims[npod])
@@ -81,19 +85,30 @@ def choose_npod(params: GridParams, mesh_x: int,
 
 
 class PodPlan:
-    """SpmdPlan-compatible decomposition plan for the pod engine."""
+    """SpmdPlan-compatible decomposition plan for the pod engine.
+
+    A z mesh axis folds into the y data decomposition exactly like
+    dist/spmd.SpmdPlan (the z data axis is the lane axis — never split);
+    ``mesh_shape`` is the (mx, my·mz, 1) DATA decomposition."""
 
     def __init__(self, params: GridParams, mesh_shape, npod: int):
-        assert mesh_shape[1] == 1 and mesh_shape[2] == 1
         self.params = params
-        self.mesh_shape = tuple(mesh_shape)
         self.device_mesh = tuple(mesh_shape)
-        self.names = ("x", "y", "z")
+        self.mesh_shape = (
+            mesh_shape[0], mesh_shape[1] * mesh_shape[2], 1
+        )
+        self.names = (
+            "x",
+            ("y", "z") if self.device_mesh[2] > 1 else "y",
+            "z",
+        )
         self.dims = params.level_dims()
         self.nlev = len(self.dims)
         self.npod = npod
         self.n_dist = npod
-        self.levels = pallas_pod.pod_levels(params, mesh_shape[0], npod)
+        self.levels = pallas_pod.pod_levels(
+            params, self.mesh_shape[:2], npod
+        )
         self.block = [lv[:3] for lv in self.levels[:npod]]
         self.alloc = [lv[:3] for lv in self.levels[:npod]]
         for l in range(npod, self.nlev):
@@ -119,18 +134,19 @@ def build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
 @functools.lru_cache(maxsize=32)
 def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
     mesh_shape = mesh.devices.shape
-    if mesh_shape[1] != 1 or mesh_shape[2] != 1:
-        raise ValueError(
-            f"pod engine needs an x-split mesh (X,1,1); got {mesh_shape}"
-        )
-    m = mesh_shape[0]
-    npod = choose_npod(params, m, cutoff)
+    plan_probe = (mesh_shape[0], mesh_shape[1] * mesh_shape[2])
+    npod = choose_npod(params, plan_probe, cutoff)
     if npod is None:
         raise ValueError(
             "pod engine unsupported for this geometry/mode; use the "
             "per-leg spmd engine"
         )
     plan = PodPlan(params, mesh_shape, npod)
+    m, myf = plan.mesh_shape[0], plan.mesh_shape[1]
+    ysplit = myf > 1
+    ghy = pallas_pod._GH if ysplit else 0
+    names = plan.names
+    kmesh = (m, myf, mesh_shape[2])  # static for the pod kernels
     dims = plan.dims
     nlev = plan.nlev
     levels = plan.levels
@@ -147,61 +163,107 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
     cb_b, cy_b, cz_b = levels[npod][:3]
     ta = plan.alloc[npod]
 
-    dist_spec = P("x", "y", "z")
+    dist_spec = P("x", names[1], None)
     repl_spec = P()
     in_specs = tuple(
         [dist_spec] * (n_arr * npod) + [repl_spec] * (n_arr * (nlev - npod))
     )
 
+    def _yidx():
+        return (
+            lax.axis_index(names[1]).astype(jnp.int32)
+            if myf > 1 else jnp.int32(0)
+        )
+
     def _bounds(l):
         bx, by, zz, nx, ny, nz = levels[l]
         gs = lax.axis_index("x").astype(jnp.int32) * bx
+        gsy = _yidx() * by
         vals = [
             jnp.maximum(jnp.int32(0), jnp.int32(1) - gs),
             jnp.minimum(jnp.int32(bx - 1), jnp.int32(nx) - gs),
-            jnp.int32(1), jnp.int32(ny),
+            jnp.maximum(jnp.int32(0), jnp.int32(1) - gsy),
+            jnp.minimum(jnp.int32(by - 1), jnp.int32(ny) - gsy),
             jnp.int32(1), jnp.int32(nz),
             gs, jnp.int32(nx),
+            gsy, jnp.int32(ny),
+            jnp.int32(0), jnp.int32(0),
         ]
-        return jnp.stack(vals).reshape(1, 8)
+        return jnp.stack(vals).reshape(1, 12)
 
     def _embed_tail(x3):
         """Pod coarse output (per-shard (cb_b, cy_b, cz_b)) -> replicated
-        tail-finest array (alloc layout) on every shard."""
+        tail-finest array (alloc layout) on every shard.  Crop+pad is one
+        XLA pad op (vs zeros + dynamic-update-slice: an extra full-tail
+        copy per cycle of glue)."""
         g = x3
         if m > 1:
             g = lax.all_gather(g, "x", axis=0, tiled=True)
-        out = jnp.zeros(ta, dtype)
-        sl = tuple(slice(0, min(g.shape[a], ta[a])) for a in range(3))
-        return out.at[sl].set(g[sl])
+        if myf > 1:
+            g = lax.all_gather(g, names[1], axis=1, tiled=True)
+        crop = tuple(min(g.shape[a], ta[a]) for a in range(3))
+        g = g[: crop[0], : crop[1], : crop[2]]
+        return jax.lax.pad(
+            g, jnp.zeros((), dtype),
+            [(0, ta[a] - crop[a], 0) for a in range(3)],
+        )
 
     def _slice_boundary(vt):
         """Replicated tail-finest field -> this shard's pod-layout coarse
-        block + its 8-plane x-face slabs (no communication: the tail is
-        replicated)."""
+        block + its ghost slabs (x pair, y-extended under the split,
+        plus the y pair; no communication: the tail is replicated)."""
         gh = pallas_pod._GH
-        g = jnp.zeros((m * cb_b + 2 * gh, cy_b, cz_b), dtype)
-        sl = (
-            min(ta[0], m * cb_b), min(ta[1], cy_b), min(ta[2], cz_b)
+        if m == 1 and myf == 1:
+            # Single-shard specialisation: the block is a static crop/pad
+            # of the tail and the ghost slabs are the Dirichlet zeros —
+            # no embedded global array, no dynamic slices (each was a
+            # full-coarse-volume copy of per-cycle glue).
+            crop = (min(ta[0], cb_b), min(ta[1], cy_b), min(ta[2], cz_b))
+            cvb = jax.lax.pad(
+                vt[: crop[0], : crop[1], : crop[2]],
+                jnp.zeros((), dtype),
+                [(0, cb_b - crop[0], 0), (0, cy_b - crop[1], 0),
+                 (0, cz_b - crop[2], 0)],
+            )
+            z2 = jnp.zeros((gh, cy_b, cz_b), dtype)
+            return cvb, (z2, z2)
+        g = jnp.zeros(
+            (m * cb_b + 2 * gh, myf * cy_b + 2 * ghy, cz_b), dtype
         )
-        g = g.at[gh : gh + sl[0], : sl[1], : sl[2]].set(
+        sl = (
+            min(ta[0], m * cb_b), min(ta[1], myf * cy_b),
+            min(ta[2], cz_b),
+        )
+        g = g.at[gh : gh + sl[0], ghy : ghy + sl[1], : sl[2]].set(
             vt[: sl[0], : sl[1], : sl[2]]
         )
         start = lax.axis_index("x").astype(jnp.int32) * cb_b
+        sy = _yidx() * cy_b
         z0 = jnp.int32(0)
+        cye = cy_b + 2 * ghy
         cvb = lax.dynamic_slice(
-            g, (gh + start, z0, z0), (cb_b, cy_b, cz_b)
+            g, (gh + start, ghy + sy, z0), (cb_b, cy_b, cz_b)
         )
-        clo = lax.dynamic_slice(g, (start, z0, z0), (gh, cy_b, cz_b))
+        clo = lax.dynamic_slice(g, (start, sy, z0), (gh, cye, cz_b))
         chi = lax.dynamic_slice(
-            g, (gh + start + cb_b, z0, z0), (gh, cy_b, cz_b)
+            g, (gh + start + cb_b, sy, z0), (gh, cye, cz_b)
         )
-        return cvb, clo, chi
+        if not ysplit:
+            return cvb, (clo, chi)
+        cylo = lax.dynamic_slice(
+            g, (gh + start, sy, z0), (cb_b, gh, cz_b)
+        )
+        cyhi = lax.dynamic_slice(
+            g, (gh + start, ghy + sy + cy_b, z0), (cb_b, gh, cz_b)
+        )
+        return cvb, (clo, chi, cylo, cyhi)
 
     def _edge_norm_complete(v, f, aux, pss):
         """Finish the fused post-smooth norm: the kernel sums interior
         planes [1, bx-1); the two x-edge planes need the neighbours'
-        post-smoothed faces (dist/spmd.py's helper, pod layout)."""
+        post-smoothed faces (dist/spmd.py's helper, pod layout; under
+        the y split also the y-neighbours' ghost rows for the center
+        plane's oy taps)."""
         bx, by, zz, nx, ny, nz = levels[0]
         yi2 = lax.broadcasted_iota(jnp.int32, (by, zz), 0)
         zi2 = lax.broadcasted_iota(jnp.int32, (by, zz), 1)
@@ -215,12 +277,28 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
             ghi = glo
         gs = lax.axis_index("x") * bx
         inv_h2 = 1.0 / (hs[0] * hs[0])
-        keep2 = (yi2 >= 1) & (yi2 <= ny) & (zi2 >= 1) & (zi2 <= nz)
-        ss = pss.astype(jnp.float32)
-        for q, xm, x0, xp in (
+        if ysplit:
+            gy0 = _yidx() * by
+            keep2 = (
+                (gy0 + yi2 >= 1) & (gy0 + yi2 <= ny)
+                & (zi2 >= 1) & (zi2 <= nz)
+            )
+            yfwd = [(i, i + 1) for i in range(myf - 1)]
+            ybwd = [(i + 1, i) for i in range(myf - 1)]
+            edge2 = jnp.stack([v[0], v[bx - 1]])
+            yglo = lax.ppermute(edge2[:, by - 1, :], names[1], yfwd)
+            yghi = lax.ppermute(edge2[:, 0, :], names[1], ybwd)
+        else:
+            keep2 = (
+                (yi2 >= 1) & (yi2 <= ny) & (zi2 >= 1) & (zi2 <= nz)
+            )
+            yglo = yghi = None
+        adt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        ss = pss.astype(adt)
+        for qi, (q, xm, x0, xp) in enumerate((
             (0, glo, v[0], v[1]),
             (bx - 1, v[bx - 2], v[bx - 1], ghi),
-        ):
+        )):
             acc = None
             for val, (ox, oy, oz) in zip(stencil.values, stencil.offsets):
                 if ox < 0:
@@ -228,9 +306,15 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
                 elif ox > 0:
                     term = val * xp
                 else:
-                    term = val * _spmd._shifted_local(
+                    tap = _spmd._shifted_local(
                         x0[None], (0, oy, oz), (1, by, zz)
                     )[0]
+                    if oy and yglo is not None:
+                        if oy < 0:
+                            tap = tap.at[0, :].set(yglo[qi])
+                        else:
+                            tap = tap.at[by - 1, :].set(yghi[qi])
+                    term = val * tap
                 acc = term if acc is None else acc + term
             av = acc * inv_h2
             if has_nv:
@@ -241,8 +325,10 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
             gq = gs + q
             keep_q = keep2 & (gq >= 1) & (gq <= nx)
             r = jnp.where(keep_q, f[q] - av, jnp.zeros_like(x0))
-            ss = ss + jnp.sum(r.astype(jnp.float32) ** 2)
+            ss = ss + jnp.sum(r.astype(adt) ** 2)
         ss = lax.psum(ss, "x")
+        if myf > 1:
+            ss = lax.psum(ss, names[1])
         return ss.astype(dtype)
 
     def local_cycle(*state):
@@ -263,12 +349,15 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
 
         v0, f0 = state[0], state[1]
         nvs = [sget(l)[2] for l in range(npod)] if has_nv else []
-        my = lax.axis_index("x").astype(jnp.int32).reshape(1, 1)
+        my = jnp.stack([
+            lax.axis_index("x").astype(jnp.int32), _yidx()
+        ]).reshape(1, 2)
         bounds = [_bounds(l) for l in range(npod)]
 
         # ---- all distributed down legs: ONE kernel -----------------------
         downs = pallas_pod.pod_down(
-            v0, f0, nvs, bounds, my, levels, params, m, interpret=interp
+            v0, f0, nvs, bounds, my, levels, params, kmesh,
+            interpret=interp,
         )
 
         # ---- consolidation + replicated tail (v2 mega-kernel) ------------
@@ -306,7 +395,7 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
         vt = sget(npod)[0]
         if has_rv:
             vt = vt - sget(npod)[2]
-        cvb, clo, chi = _slice_boundary(vt)
+        cvb, cvb_slabs = _slice_boundary(vt)
 
         # ---- all distributed up legs: ONE kernel -------------------------
         vs = [downs[l][0] for l in range(npod)]
@@ -315,8 +404,8 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
             downs[l][2] if has_rv else None for l in range(npod - 1)
         ]
         vups, pss = pallas_pod.pod_up(
-            vs, fs, nvs, rvs, cvb, clo, chi, bounds, my, levels,
-            params, m, interpret=interp,
+            vs, fs, nvs, rvs, cvb, cvb_slabs, bounds, my, levels,
+            params, kmesh, interpret=interp,
         )
 
         # ---- state update + norm ----------------------------------------

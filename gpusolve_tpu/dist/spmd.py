@@ -467,11 +467,6 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
         return _pod.build_pod_solver(params, mesh, cutoff)
     if fuse != "leg":
         raise ValueError(f"fuse must be 'leg' or 'pod', got {fuse!r}")
-    if params.cycle_type != "V":
-        raise ValueError(
-            "the explicit spmd engine implements V-cycles only; use the "
-            "gspmd engine (solver.vcycle with shardings) for W/F"
-        )
     if halo not in ("ppermute", "rdma"):
         raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
     key = dataclasses.replace(
@@ -860,7 +855,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 (yi2 >= 1) & (yi2 <= nyl) & (zi2 >= 1) & (zi2 <= nzl)
             )
             yglo = yghi = None
-        ss = pss.astype(jnp.float32)
+        adt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        ss = pss.astype(adt)
         for qi, (q, xm, x0, xp) in enumerate((
             (0, glo, cl(v[0]), cl(v[1])),
             (bx - 1, cl(v[bx - 2]), cl(v[bx - 1]), ghi),
@@ -891,7 +887,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             gq = gs + q
             keep_q = keep2 & (gq >= 1) & (gq <= nxl)
             r = jnp.where(keep_q, f[q] - av, jnp.zeros_like(x0))
-            ss = ss + jnp.sum(r.astype(jnp.float32) ** 2)
+            ss = ss + jnp.sum(r.astype(adt) ** 2)
         for name in _AXES:
             ss = lax.psum(ss, name)
         return ss.astype(dtype)
@@ -1002,8 +998,11 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         def aux_of(arrs):
             return arrs[2] if n_arr == 3 else None
 
-        # ---- distributed down-leg ----
-        for l in range(nd):
+        def down_dist(l, fresh):
+            """Distributed down leg at level ``l``.  ``fresh`` marks the
+            first visit after the parent's restriction (v is still the
+            zero it wrote) — only then may mid-level legs skip streaming
+            v (the W/F schedules revisit levels with nonzero v)."""
             arrs = sget(l)
             v, f = arrs[0], arrs[1]
             aux = aux_of(arrs)
@@ -1033,12 +1032,12 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 # Single streaming pass for the whole down leg: all pre
                 # sweeps + residual + full x/y/z restriction (v,f read
                 # once; the kernel output is already in the coarse block
-                # layout up to the z lane embed).  Mid levels start from
-                # v=0 (LINEAR/NEWTON down legs): v is neither streamed
-                # nor exchanged.
+                # layout up to the z lane embed).  Fresh mid-level visits
+                # start from v=0 (LINEAR/NEWTON down legs): v is neither
+                # streamed nor exchanged.
                 v, cr, crv = _trap_smooth(
                     l, v, f, aux, pre, restrict=True,
-                    src_zero=(l > 0 and not has_rv),
+                    src_zero=(l > 0 and fresh and not has_rv),
                 )
                 sset(l, v=v)
 
@@ -1052,7 +1051,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                     return x3[:, :, :cbz]
 
                 _finish_restrict(cr, crv, _embed_z, tau_done=has_rv)
-                continue
+                return
             v = _smooth(l, v, f, aux, pre)
             sset(l, v=v)
             if _rr_fused(l):
@@ -1068,7 +1067,7 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 _finish_restrict(
                     xzr, xzv, lambda x3, l=l: _y_restrict_embed(x3, l + 1)
                 )
-                continue
+                return
             r, _ = _residual(l, v, f, aux, with_norm=False)
             asm_r = _halo_exchange(_clean(l, r), plan.mesh_shape, names=names)
             if l + 1 < nd:
@@ -1115,8 +1114,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 else:
                     sset(nd, v=jnp.zeros_like(f_next), f=f_next)
 
-        # ---- replicated sub-hierarchy (plain single-device ops) ----
-        for l in range(nd, nlev - 1):
+        def down_repl(l):
+            """Replicated down leg (plain single-device ops)."""
             arrs = sget(l)
             v, f = arrs[0], arrs[1]
             aux = aux_of(arrs)
@@ -1140,15 +1139,18 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 sset(l + 1, v=rv, f=f_next + a_coarse, aux=rv)
             else:
                 sset(l + 1, v=jnp.zeros_like(nxt[0]), f=f_next)
-        # coarsest
-        arrs = sget(nlev - 1)
-        nv_kw = dict(newton_v=aux_of(arrs)) if has_nv else {}
-        vL = xla.jacobi(
-            arrs[0], arrs[1], plan.dims[nlev - 1], params, hs[nlev - 1],
-            pre + post, **nv_kw
-        )
-        sset(nlev - 1, v=vL)
-        for l in range(nlev - 1, nd, -1):
+
+        def coarsest():
+            arrs = sget(nlev - 1)
+            nv_kw = dict(newton_v=aux_of(arrs)) if has_nv else {}
+            vL = xla.jacobi(
+                arrs[0], arrs[1], plan.dims[nlev - 1], params,
+                hs[nlev - 1], pre + post, **nv_kw
+            )
+            sset(nlev - 1, v=vL)
+
+        def up_repl(l):
+            """Replicated up leg: fine level l-1 from coarse l (l > nd)."""
             arrs_c = sget(l)
             vc = arrs_c[0]
             if has_rv:
@@ -1165,9 +1167,10 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             )
             sset(l - 1, v=vf)
 
-        # ---- replicated -> distributed prolongation ----
-        final_ss = None
-        for l in range(nd, 0, -1):
+        def up_dist(l):
+            """Distributed up leg: fine l-1 from coarse l (l <= nd; l ==
+            nd reads the replicated boundary).  Returns the fused finest
+            norm's Σr² when the kernel produced it, else None."""
             arrs_f = sget(l - 1)
             vf, ff = arrs_f[0], arrs_f[1]
             aux_f = aux_of(arrs_f)
@@ -1202,15 +1205,16 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         c_nz=plan.dims[l - 1][2],
                         consumer=consumer, interpret=interp, ghy=ghy,
                     )
+                    sset_ss = None
                     if consumer:
                         vf, pss = outs
-                        final_ss = _edge_norm_complete(
+                        sset_ss = _edge_norm_complete(
                             0, vf, ff, aux_f, pss
                         )
                     else:
                         vf, _ = outs
                     sset(l - 1, v=vf)
-                    continue
+                    return sset_ss
                 if _pl_fused(l):
                     # Fused prolongation + correction add: stream the
                     # xy-ghost-extended coarse block (z stays in padded
@@ -1229,28 +1233,59 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                         _coarse_zz(l), plan.dims[l - 1][2],
                         interpret=interp,
                     )
+                    sset_ss = None
                     if l - 1 == 0 and _trap_ok(0, post):
                         # Fused post-smooth + residual norm (the final
                         # separate norm pass is skipped entirely).
                         vf, pss = _trap_smooth(
                             0, vf, ff, aux_f, post, with_norm=True
                         )
-                        final_ss = _edge_norm_complete(
+                        sset_ss = _edge_norm_complete(
                             0, vf, ff, aux_f, pss
                         )
                     else:
                         vf = _smooth(l - 1, vf, ff, aux_f, post)
                     sset(l - 1, v=vf)
-                    continue
-                asm_c = _halo_exchange(_clean(l, vc), plan.mesh_shape, names=names)
+                    return sset_ss
+                asm_c = _halo_exchange(
+                    _clean(l, vc), plan.mesh_shape, names=names
+                )
             e = _prolong_local(asm_c, plan.block[l - 1])
             keep = _interior_mask(plan, l - 1, dtype)
             vf = jnp.where(keep, vf + e, jnp.zeros_like(vf))
             vf = _smooth(l - 1, vf, ff, aux_f, post)
             sset(l - 1, v=vf)
+            return None
 
-        if final_ss is not None:
-            return tuple(state) + (jnp.sqrt(final_ss),)
+        # Cycle schedule: V per the reference; W/F beyond-reference,
+        # mirroring solver/vcycle.py's trace-time recursion.  A child's
+        # SECOND visit (W's and F's extra sub-cycles) starts from the
+        # nonzero v its first visit left, so only first visits are
+        # ``fresh`` for the src_zero fast path.
+        subcycles = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+        final_ss = [None]
+
+        def cycle_at(i, kind, fresh):
+            if i == nlev - 1:
+                coarsest()
+                return
+            if i < nd:
+                down_dist(i, fresh)
+            else:
+                down_repl(i)
+            for j, sub in enumerate(subcycles[kind]):
+                cycle_at(i + 1, sub, j == 0)
+            if i + 1 > nd:
+                up_repl(i + 1)
+            else:
+                ss = up_dist(i + 1)
+                if ss is not None:
+                    final_ss[0] = ss
+
+        cycle_at(0, params.cycle_type, False)
+
+        if final_ss[0] is not None:
+            return tuple(state) + (jnp.sqrt(final_ss[0]),)
         arrs0 = sget(0)
         _, ss = _residual(
             0, arrs0[0], arrs0[1], aux_of(arrs0), with_norm=True,
@@ -1505,9 +1540,10 @@ def spmd_eligible(params: GridParams, mesh_shape) -> Optional[str]:
     a human-readable reason (the CLI's auto engine selection and
     fast-path-gating notes)."""
     if params.cycle_type != "V":
-        return (
-            f"--cycle {params.cycle_type} runs on the gspmd engine only"
-        )
+        # W/F run on the per-leg engine; the pod engine stays V-only.
+        dims = params.level_dims()
+        if len(dims) < 2:
+            return "single-level grid"
     dims = params.level_dims()
     if len(dims) < 2:
         return "single-level grid"
@@ -1530,16 +1566,58 @@ def _newton_helpers(params: GridParams, mesh: Mesh, plan: SpmdPlan):
     overlap = _face_taps_only(stencil)
     dist_spec = P("x", plan.names[1], None)
     repl_spec = P()
+    names = plan.names
+    interp = jax.default_backend() not in ("tpu", "axon")
+    # comp_f IS the NONLINEAR-mode residual evaluated at ũ
+    # (F = newton_f − (A·ũ/h² + γ ũ e^ũ)) — on Pallas-eligible level-0
+    # geometry it runs the shard-local residual kernel instead of the
+    # per-level XLA ops (the round-2 'NEWTON outer ops on pod layouts
+    # pay XLA glue' item).
+    p_fas = params.replace(mode=Mode.NONLINEAR)
+    use_ps0 = bool(
+        getattr(plan, "ps_levels", [False])[0]
+        and pallas_spmd.supported(p_fas)
+    )
 
     def _specs(n_dist_arrs, n_repl_arrs):
         return tuple(
             [dist_spec] * n_dist_arrs + [repl_spec] * n_repl_arrs
         )
 
+    def _faces2d0(u):
+        g = _face_ghosts(u, plan.mesh_shape, axes=(0, 1), names=names)
+        return (
+            g[0][0][0], g[0][1][0],
+            g[1][0][:, 0], g[1][1][:, 0],
+        )
+
+    def _bounds0():
+        vals = []
+        for ax in range(3):
+            b = plan.block[0][ax]
+            n = plan.dims[0][ax]
+            gs = (
+                lax.axis_index(names[ax]) * b
+                if plan.mesh_shape[ax] > 1 else jnp.int32(0)
+            )
+            vals.append(jnp.maximum(jnp.int32(0), jnp.int32(1) - gs))
+            vals.append(jnp.minimum(jnp.int32(b - 1), jnp.int32(n) - gs))
+        vals.extend([jnp.int32(0)] * 6)
+        return jnp.stack(vals).reshape(1, 12)
+
     def local_comp_f(v_nv, newton_f, f_out_dummy):
         """F = newton_f − (A·ũ + γ ũ e^ũ) into level-0 f; returns also ‖F‖
         (reference :48-81)."""
         nv = _clean_level(plan, 0, v_nv)
+        if use_ps0:
+            F, ss = pallas_spmd.residual_block(
+                nv, newton_f, _faces2d0(nv), _bounds0(), p_fas, hs[0],
+                plan.zz_live[0], with_norm=True, interpret=interp,
+            )
+            ss = ss.astype(dtype)
+            for name in _AXES:
+                ss = lax.psum(ss, name)
+            return F, jnp.sqrt(ss)
         inv_h2 = 1.0 / (hs[0] * hs[0])
         keep = _interior_mask(plan, 0, dtype)
         if overlap:

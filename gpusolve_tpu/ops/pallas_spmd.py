@@ -64,6 +64,24 @@ from gpusolve_tpu.config import GridParams, Mode
 
 _VMEM_BUDGET = 100 * 1024 * 1024
 _VMEM_LIMIT = 120 * 1024 * 1024
+_TUNING_DEFAULTS = (_VMEM_BUDGET, _VMEM_LIMIT)
+_TUNING_APPLIED = False
+
+
+def _apply_tuning() -> None:
+    """Resolve the VMEM budgets per device kind (utils/tuning table) on
+    first use; explicit module-level reassignment overrides."""
+    global _VMEM_BUDGET, _VMEM_LIMIT, _TUNING_APPLIED
+    if _TUNING_APPLIED:
+        return
+    _TUNING_APPLIED = True
+    if (_VMEM_BUDGET, _VMEM_LIMIT) != _TUNING_DEFAULTS:
+        return
+    from gpusolve_tpu.utils import tuning
+
+    t = tuning.current()
+    _VMEM_BUDGET = t.spmd_vmem_budget
+    _VMEM_LIMIT = t.spmd_vmem_limit
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -85,6 +103,12 @@ def _pick_tx(bx: int, plane_bytes: int, per_tx: int) -> int:
     return tx
 
 
+def _acc_dt(dtype):
+    """Norm/matmul accumulation dtype: f32 (Kahan-compensated) for f32
+    storage, f64 for the interpret-mode f64 parity runs."""
+    return jnp.float64 if jnp.dtype(dtype) == jnp.float64 else jnp.float32
+
+
 def _roll(x, shift: int, axis: int):
     shift = shift % x.shape[axis]
     try:
@@ -93,12 +117,20 @@ def _roll(x, shift: int, axis: int):
         return jnp.roll(x, shift, axis=axis)
 
 
+# Test hook: interpret mode executes the kernels in float64 just fine
+# (Mosaic's f32-only tiling constraint is a hardware-lowering property),
+# which lets the distributed bit-parity tests pin the leg/pod engines
+# against the single-device f64 solver at ~1e-13 instead of f32's 1e-5
+# (round-2 VERDICT item 8).  Never set on a real-TPU path.
+_F64_INTERPRET_OK = False
+
+
 def level_supported(
     block, nz_global: int, mesh_z: int, dtype_name: str = "float32"
 ) -> bool:
     """Whether this level's shard geometry can run the local kernels (see
     the module docstring's alignment rules)."""
-    if dtype_name != "float32":
+    if dtype_name != "float32" and not _F64_INTERPRET_OK:
         return False
     if mesh_z != 1:
         return False
@@ -114,7 +146,8 @@ def level_supported(
 def unsupported_reason(params: GridParams):
     """None when the shard-local Pallas kernels can run this configuration,
     else a human-readable gate description (CLI fast-path notes)."""
-    if params.dtype != "float32":
+    _apply_tuning()
+    if params.dtype != "float32" and not _F64_INTERPRET_OK:
         return f"dtype {params.dtype} (Mosaic kernels are float32-only)"
     # Face-taps-only (no corner/edge offsets): the six-face ghost exchange
     # carries exactly the neighbour values such stencils need.
@@ -390,9 +423,10 @@ def _residual_call(
             # Per-plane scalar reduces feeding an explicit Kahan chain
             # (same scheme as ops/pallas_kernels._residual_call — SURVEY §7
             # compensated-f32 norm mitigation).
-            r2 = r.astype(jnp.float32) ** 2
-            part = jnp.float32(0.0)
-            pcomp = jnp.float32(0.0)
+            adt = _acc_dt(dtype)
+            r2 = r.astype(adt) ** 2
+            part = adt(0.0)
+            pcomp = adt(0.0)
             for c in range(tx):
                 y = jnp.sum(r2[c]) - pcomp
                 tt = part + y
@@ -402,7 +436,7 @@ def _residual_call(
             @pl.when(t == 0)
             def _():
                 acc[0, 0] = part
-                acc[0, 1] = jnp.float32(0.0)
+                acc[0, 1] = _acc_dt(dtype)(0.0)
 
             @pl.when(t != 0)
             def _():
@@ -419,7 +453,7 @@ def _residual_call(
 
             @pl.when(t == ntx - 1)
             def _():
-                sum_ref[0, 0] = jnp.float32(0.0)
+                sum_ref[0, 0] = _acc_dt(dtype)(0.0)
 
         if write_r:
             cp_o.wait()
@@ -433,7 +467,7 @@ def _residual_call(
         scratch.append(pltpu.VMEM((tx, by, zz), dtype))
     scratch.append(pltpu.VMEM((2, tx, zz), dtype))
     scratch.append(pltpu.VMEM((tx, by, zz), dtype))
-    scratch.append(pltpu.SMEM((1, 2), jnp.float32))
+    scratch.append(pltpu.SMEM((1, 2), _acc_dt(dtype)))
     scratch.append(pltpu.SemaphoreType.DMA((10,)))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * (n_in - 1)
@@ -449,7 +483,7 @@ def _residual_call(
         ),
         out_shape=(
             jax.ShapeDtypeStruct(block if write_r else (8, 8, 128), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), _acc_dt(dtype)),
         ),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -616,7 +650,7 @@ def _res_restrict_call(
 
         def zc(p2d):
             return jnp.dot(
-                p2d, wz, preferred_element_type=jnp.float32,
+                p2d, wz, preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)
 
@@ -822,12 +856,12 @@ def _prolong_add_call(
             b = (p + 3) // 2 - (sx // 2 + 1)
             ca = 0.5 * (cs[a] + cs[b])  # (cyp, czz)
             tmp = jnp.dot(
-                ca, pz, preferred_element_type=jnp.float32,
+                ca, pz, preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             )
             e_p = jnp.dot(
                 py.T, tmp.astype(dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)
             os_[i] = vs[i] + e_p
@@ -1348,12 +1382,12 @@ def _make_leg(
             def zc(p2d):
                 # full y+z contraction: (by, zz) -> (r_cby, czz)
                 tmp = jnp.dot(
-                    p2d, wz, preferred_element_type=jnp.float32,
+                    p2d, wz, preferred_element_type=_acc_dt(dtype),
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 return jnp.dot(
                     wy.T, tmp.astype(dtype),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=_acc_dt(dtype),
                     precision=jax.lax.Precision.HIGHEST,
                 ).astype(dtype)
 
@@ -1368,12 +1402,12 @@ def _make_leg(
 
             def prolong_yz(cplane):
                 tmp = jnp.dot(
-                    cplane, pz, preferred_element_type=jnp.float32,
+                    cplane, pz, preferred_element_type=_acc_dt(dtype),
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 return jnp.dot(
                     py.T, tmp.astype(dtype),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=_acc_dt(dtype),
                     precision=jax.lax.Precision.HIGHEST,
                 ).astype(dtype)
 
@@ -1523,7 +1557,7 @@ def _make_leg(
                 rr = jnp.where(
                     keep_loc_at(cq) & cond, res_at(), zero_plane
                 )
-                part = jnp.sum(rr.astype(jnp.float32) ** 2)
+                part = jnp.sum(rr.astype(_acc_dt(dtype)) ** 2)
                 y = part - comp
                 tt = total + y
                 comp = (tt - total) - y
@@ -1614,12 +1648,12 @@ def _make_leg(
                             )
                             tmp = jnp.dot(
                                 vx_c, wz,
-                                preferred_element_type=jnp.float32,
+                                preferred_element_type=_acc_dt(dtype),
                                 precision=jax.lax.Precision.HIGHEST,
                             )
                             vce = jnp.dot(
                                 wy_v.T, tmp.astype(dtype),
-                                preferred_element_type=jnp.float32,
+                                preferred_element_type=_acc_dt(dtype),
                                 precision=jax.lax.Precision.HIGHEST,
                             ).astype(dtype)
                             cyie = jax.lax.broadcasted_iota(
@@ -1719,8 +1753,9 @@ def _make_leg(
                         cst_chunks(m // _GH)
             return carry
 
+        adt = _acc_dt(dtype)
         carry = jax.lax.fori_loop(
-            0, nsteps, body, (jnp.float32(0.0), jnp.float32(0.0))
+            0, nsteps, body, (adt(0.0), adt(0.0))
         )
 
         for back in (2, 1):
@@ -1772,7 +1807,7 @@ def _make_leg(
 
     outs = [jax.ShapeDtypeStruct(block, dtype)]
     if with_norm:
-        outs.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        outs.append(jax.ShapeDtypeStruct((1, 1), _acc_dt(dtype)))
     if restrict:
         outs.append(jax.ShapeDtypeStruct((cbx, r_cby, czz), dtype))
         if fas:

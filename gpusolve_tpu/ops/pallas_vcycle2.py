@@ -51,8 +51,27 @@ _VMEM_LIMIT = 126 * 1024 * 1024
 _DEBUG_MAX_PASSES = None  # debugging aid: truncate the cycle after N passes
 # Down legs at levels >= this skip the v write-back and the up leg
 # recomputes the pre-sweeps (see the schedule note in one_cycle).  None
-# disables (write-back everywhere — fastest on v5e, see measurements).
+# disables (write-back everywhere — fastest on v5e: the kernel is
+# VPU-bound, PERF.md §6, so recompute's extra vector work always loses
+# there).  Resolved per device kind from utils/tuning on first use;
+# module-level reassignment (the bit-identity tests' hook) overrides.
 _RECOMPUTE_FROM_LEVEL = None
+_TUNING_DEFAULTS = (_VMEM_LIMIT, _RECOMPUTE_FROM_LEVEL)
+_TUNING_APPLIED = False
+
+
+def _apply_tuning() -> None:
+    global _VMEM_LIMIT, _RECOMPUTE_FROM_LEVEL, _TUNING_APPLIED
+    if _TUNING_APPLIED:
+        return
+    _TUNING_APPLIED = True
+    if (_VMEM_LIMIT, _RECOMPUTE_FROM_LEVEL) != _TUNING_DEFAULTS:
+        return  # externally overridden — respect it
+    from gpusolve_tpu.utils import tuning
+
+    t = tuning.current()
+    _VMEM_LIMIT = t.vmem_limit
+    _RECOMPUTE_FROM_LEVEL = t.recompute_from_level
 _TX = 8          # stream slab granularity (sublane tile) — planes per DMA
 _TINY_AX = 16    # levels with alloc x-extent <= this run fully VMEM-resident
 
@@ -63,6 +82,15 @@ def _cdiv(a, b):
 
 def _round_up(n, m):
     return -(-n // m) * m
+
+
+def _acc_dt(dtype):
+    """Accumulation dtype: f32 for f32 storage (Kahan-compensated norms),
+    f64 for interpret-mode f64 parity runs (ops/pallas_spmd._acc_dt)."""
+    import jax.numpy as _jnp
+
+    return _jnp.float64 if _jnp.dtype(dtype) == _jnp.float64 \
+        else _jnp.float32
 
 
 def _roll(x, shift: int, axis: int):
@@ -204,6 +232,7 @@ def unsupported_reason(params: GridParams):
     """None when the wavefront mega-kernel can run this configuration, else
     a human-readable gate description (surfaced by the CLI's fast-path
     notes / --explain-backend)."""
+    _apply_tuning()
     if params.mode not in (Mode.LINEAR, Mode.NEWTON, Mode.NONLINEAR):
         return f"mode {params.mode} not implemented in the kernel"
     if params.pre_smoothing > 5 or params.post_smoothing > 5:
@@ -400,24 +429,24 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
 
         def restrict_yz(plane, wy, wz, ckeep, czero, valid):
             tmp = jnp.dot(
-                plane, wz, preferred_element_type=jnp.float32,
+                plane, wz, preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             )
             out_c = jnp.dot(
                 wy.T, tmp.astype(dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)
             return jnp.where(valid & ckeep, out_c, czero)
 
         def prolong_yz(cplane, py, pz):
             tmp = jnp.dot(
-                cplane, pz, preferred_element_type=jnp.float32,
+                cplane, pz, preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             )
             return jnp.dot(
                 py.T, tmp.astype(dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)
 

@@ -250,3 +250,161 @@ def solve_refine(
         if res_f <= initial / (1.0 / params.tol):
             break
     return u, history
+
+
+# ---------------------------------------------------------------------------
+# Distributed refinement on the explicit spmd engine (round-3 item 7)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "newton", "alloc")
+)
+def _inject_spmd(r_hi: jax.Array, s: jax.Array, u_hi: jax.Array,
+                 dims, alloc, newton: bool):
+    """Scaled-f32 level-0 RHS (and Newton linearisation point) in the
+    spmd engine's mesh-aware global allocation (interiors of the two
+    paddings coincide at [1..n])."""
+    nx, ny, nz = dims
+    sl = (slice(1, nx + 1), slice(1, ny + 1), slice(1, nz + 1))
+    f32 = jnp.zeros(alloc, jnp.float32).at[sl].set(
+        (r_hi[sl] / s).astype(jnp.float32)
+    )
+    nv32 = None
+    if newton:
+        nv32 = jnp.zeros(alloc, jnp.float32).at[sl].set(
+            u_hi[sl].astype(jnp.float32)
+        )
+    return f32, nv32
+
+
+@functools.partial(jax.jit, static_argnames=("dims",), donate_argnums=(0,))
+def _accumulate_spmd(u_hi: jax.Array, e32: jax.Array, s: jax.Array, dims):
+    nx, ny, nz = dims
+    sl = (slice(1, nx + 1), slice(1, ny + 1), slice(1, nz + 1))
+    return u_hi.at[sl].add(s * e32[sl].astype(u_hi.dtype))
+
+
+def solve_refine_spmd(
+    params: GridParams,
+    mesh,
+    inner_tol: float = 1e-3,
+    inner_iters: int = 20,
+    timer: Optional[Timer] = None,
+    local_backend: str = "auto",
+    halo: str = "ppermute",
+    fuse: str = "leg",
+    cutoff: int = 4,
+) -> Tuple[jax.Array, List[float]]:
+    """``solve_refine`` with the inner f32 multigrid on the EXPLICIT spmd
+    engine (trapezoid/pod Pallas kernels, dist/spmd.py) instead of the
+    gspmd path — the f64 multi-chip story on the fast engine (round-2
+    VERDICT item 7).
+
+    The f64 outer arrays are global alloc_shape arrays sharded on the
+    finest level's spec; each outer step injects the scaled defect into
+    the engine's mesh-aware level-0 allocation (interiors coincide),
+    runs an inner LINEAR/NEWTON spmd solve, and accumulates the
+    correction in f64."""
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            "solve_refine needs jax_enable_x64 for the f64 outer defect "
+            "(the CLI --refine flag enables it)"
+        )
+    if params.dtype != "float32":
+        raise ValueError(
+            "solve_refine's storage dtype is the inner dtype and must be "
+            f"float32 (got {params.dtype})"
+        )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpusolve_tpu.dist.spmd import (
+        _newton_helpers,
+        build_spmd_solver,
+        solve_spmd,
+    )
+
+    if timer is None and params.print_progress:
+        timer = Timer()
+    dims = params.level_dims()[0]
+    newton = params.mode != Mode.LINEAR
+    p32 = _params32(params, inner_iters, inner_tol)
+
+    with _x64_off():
+        init_fn, _, plan = build_spmd_solver(
+            p32, mesh, cutoff, local_backend, halo, fuse
+        )
+        sp_state = list(init_fn())
+    n_arr = 3 if newton else 2
+    nd, nlev = plan.n_dist, plan.nlev
+
+    spec0 = NamedSharding(mesh, P("x", plan.names[1], None))
+    u = jax.device_put(jnp.zeros(alloc_shape(dims), jnp.float64), spec0)
+    f_hi = jax.device_put(hi_rhs(params), spec0)
+    hk = _hi_key(params)
+
+    r_hi, res = _hi_residual(u, f_hi, hk)
+    initial = float(res)
+    word = "newton iter" if params.mode == Mode.NEWTON else "iter"
+    if params.print_progress:
+        name = (
+            "newton residual" if params.mode == Mode.NEWTON
+            else "residual"
+        )
+        print(f"Inital {name}: {initial:.6g}")
+    history = [initial]
+
+    helpers = None
+    if newton:
+        helpers = _newton_helpers(p32, mesh, plan)
+
+    for i in range(params.maxiter):
+        t0 = time.perf_counter()
+        s = res.astype(jnp.float64)
+        f32g, nv32g = _inject_spmd(
+            r_hi, s, u, dims, tuple(plan.alloc[0]), newton
+        )
+        for l in range(nlev):
+            base = n_arr * l
+            sp_state[base] = jnp.zeros_like(sp_state[base])
+            if l == 0:
+                sp_state[1] = f32g
+            if newton:
+                sp_state[base + 2] = (
+                    nv32g if l == 0
+                    else jnp.zeros_like(sp_state[base + 2])
+                )
+        with _x64_off():
+            if newton:
+                # Restrict the frozen linearisation point to levels
+                # 1..L-2 — never the coarsest (the reference quirk,
+                # src/cpu/NewtonSolver.cpp:88-92).
+                _, restrict_nv_fn, _ = helpers
+                nvs = restrict_nv_fn(
+                    *[sp_state[n_arr * l + 2] for l in range(nlev)]
+                )
+                for l in range(nlev):
+                    sp_state[n_arr * l + 2] = nvs[l]
+            st, _, _ = solve_spmd(
+                p32, mesh, cutoff, state=tuple(sp_state), plan=plan,
+                local_backend=local_backend, check_every=inner_iters,
+                halo=halo, fuse=fuse,
+            )
+        sp_state = list(st)
+        u = _accumulate_spmd(u, sp_state[0], s, dims)
+        r_hi, res = _hi_residual(u, f_hi, hk)
+        if timer is not None:
+            with timer.section("sumBuffer"):
+                res_f = float(res)
+        else:
+            res_f = float(res)
+        history.append(res_f)
+        if params.print_progress:
+            ms = int((time.perf_counter() - t0) * 1000)
+            line = f"{word}: {i} residual: {res_f:.6g} Took {ms}ms"
+            if timer is not None:
+                line += timer.suffix()
+            print(line)
+        if res_f <= initial / (1.0 / params.tol):
+            break
+    return u, history

@@ -99,8 +99,12 @@ def test_pod_rejects_unsupported():
         solve_spmd(params, mesh, fuse="pod")
 
 
-def test_pod_rejects_ysplit_mesh():
+def test_pod_accepts_ysplit_mesh():
+    """Round 3: the pod engine runs on y-split meshes (2-D-trapezoid leg
+    emitters + two-stage in-kernel RDMA — full parity tests in
+    tests/test_spmd_ysplit.py)."""
     params = _params(Mode.LINEAR, 0.0)
     mesh = make_mesh((2, 2, 1))
-    with pytest.raises(ValueError):
-        solve_spmd(params, mesh, fuse="pod")
+    _, hist, plan = solve_spmd(params, mesh, fuse="pod")
+    assert plan.mesh_shape[1] == 2
+    assert all(h == h for h in hist)

@@ -166,3 +166,42 @@ def test_cli_refine_incompatible_flags(tmp_path):
     out = run_cli([str(conf), "--refine", "--dtype", "float64"], timeout=120)
     assert out.returncode == 1
     assert "--refine is incompatible" in out.stderr
+
+
+@pytest.mark.parametrize(
+    "mode", [Mode.LINEAR, Mode.NONLINEAR], ids=["linear", "nonlinear"]
+)
+def test_refine_spmd_engine_matches_oracle(mode):
+    """Distributed refinement on the EXPLICIT spmd engine (round-3 item
+    7): inner f32 solves on the trapezoid/pod fast path, f64 outer defect
+    sharded on the finest spec — same accuracy contract as the gspmd
+    variant, here on a folded (2,2,2) virtual mesh."""
+    from gpusolve_tpu.dist import make_mesh
+    from gpusolve_tpu.solver.refine import solve_refine_spmd
+
+    p = make_params(mode)
+    mesh = make_mesh((2, 2, 2))
+    u, hist = solve_refine_spmd(p, mesh, cutoff=2)
+    assert hist[-1] <= hist[0] * 1e-11
+    u_ref = oracle_solution(p)
+    nx, ny, nz = p.grid_dim
+    got = np.asarray(u)[: nx + 2, : ny + 2, : nz + 2]
+    scale = np.max(np.abs(u_ref))
+    assert np.max(np.abs(got - u_ref)) <= 1e-8 * scale
+
+
+def test_cli_refine_spmd_engine(tmp_path):
+    conf = tmp_path / "r.conf"
+    conf.write_text(
+        "8\n1e-11\n15\n15\n15\n0\n3\n3\n0.8\n1.0\n"
+        "6 -1 -1 -1 -1 -1 -1\n"
+        "0 1 -1 0 0 0 0\n"
+        "0 0 0 1 -1 0 0\n"
+        "0 0 0 0 0 1 -1\n"
+    )
+    r = run_cli([
+        str(conf), "--refine", "--mesh", "2,1,1",
+        "--dist-engine", "spmd", "--explain-backend",
+    ])
+    assert r.returncode == 0, r.stderr
+    assert "Inital residual" in r.stdout

@@ -115,3 +115,20 @@ def test_pass_budget_gates_deep_w():
 def test_cycle_type_validation():
     with pytest.raises(ValueError):
         make_params(Mode.LINEAR, "X")
+
+
+@pytest.mark.parametrize("cycle", ["W", "F"])
+def test_wf_on_spmd_engine_matches_gspmd(cycle):
+    """Round-3 item 10: W/F schedules on the explicit spmd engine (the
+    per-leg trace-time recursion mirrors solver/vcycle.py's) — f64
+    2-shard histories must match the single-device solver."""
+    from gpusolve_tpu.dist import make_mesh
+    from gpusolve_tpu.dist.spmd import solve_spmd
+
+    p = make_params(
+        Mode.NONLINEAR, cycle, dims=(31, 31, 31), maxiter=3,
+        backend="xla",
+    )
+    _, ref = solve(build_grid(p), p)
+    _, hist, _ = solve_spmd(p, make_mesh((2, 2, 2)), cutoff=2)
+    np.testing.assert_allclose(hist, ref, rtol=1e-11)
