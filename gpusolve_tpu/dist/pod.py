@@ -159,6 +159,10 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
     stencil = params.stencil
     hs = [params.level_h(l) for l in range(nlev)]
     interp = jax.default_backend() not in ("tpu", "axon")
+    if interp:
+        _spmd.gate_interpret_sync(
+            int(mesh.devices.size), "the pod engine (fuse='pod')"
+        )
     tail_params = params.replace(grid_dim=dims[npod])
     cb_b, cy_b, cz_b = levels[npod][:3]
     ta = plan.alloc[npod]

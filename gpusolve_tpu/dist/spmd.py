@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -53,6 +54,46 @@ from gpusolve_tpu.ops import pallas_spmd
 from gpusolve_tpu.ops import xla
 
 _AXES = ("x", "y", "z")
+
+
+def interpret_sync_capacity() -> int:
+    """Max simulated devices that may block on one another INSIDE a single
+    interpret-mode Pallas kernel (in-kernel remote DMAs / semaphore waits).
+
+    The XLA CPU client executes device programs on a thread pool sized to
+    the host's CPU count.  A kernel group whose members wait on each
+    other's in-kernel semaphore signals needs every member resident at
+    once; with more devices than pool threads the resident programs block
+    in waits for programs that can never be scheduled — a permanent
+    deadlock, not slowness (observed: on a 4-CPU host the 8-device pod
+    kernels hang in ``interpret_pallas_call._allocate_buffer`` while
+    4-device ones pass; root cause of the round-3 driver's
+    MULTICHIP_r03 rc=124).  XLA collectives (ppermute/psum) are NOT
+    affected — the runtime parks those without holding a pool thread.
+
+    ``GPUSOLVE_INTERPRET_SYNC_CAPACITY`` overrides (tests, bigger rigs).
+    """
+    cap = os.environ.get("GPUSOLVE_INTERPRET_SYNC_CAPACITY")
+    if cap:
+        return int(cap)
+    return os.cpu_count() or 1
+
+
+def gate_interpret_sync(n_devices: int, what: str) -> None:
+    """Raise instead of deadlocking when an in-kernel-RDMA engine is asked
+    to simulate more mutually-blocking devices than the host can run."""
+    cap = interpret_sync_capacity()
+    if n_devices > cap:
+        raise RuntimeError(
+            f"{what} uses in-kernel remote DMAs: interpret mode must run "
+            f"all {n_devices} simulated devices concurrently, but this "
+            f"host's XLA CPU thread pool supports only {cap} "
+            f"(os.cpu_count()).  Running it would deadlock, not just be "
+            f"slow.  Use a mesh with <= {cap} devices, the ppermute-halo "
+            f"leg engine (fuse='leg', halo='ppermute' — XLA collectives "
+            f"don't hold pool threads), or set "
+            f"GPUSOLVE_INTERPRET_SYNC_CAPACITY on a larger host."
+        )
 
 
 def _shard_map(f, mesh, in_specs, out_specs, check_rep=False):
@@ -507,6 +548,8 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     overlap = _face_taps_only(stencil)
 
     interp = jax.default_backend() not in ("tpu", "axon")
+    if interp and halo == "rdma":
+        gate_interpret_sync(int(mesh.devices.size), "halo='rdma'")
     if local_backend == "pallas":
         use_ps = pallas_spmd.supported(params)
     elif local_backend == "auto":

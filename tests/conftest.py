@@ -75,3 +75,18 @@ def _clear_jax_caches_between_modules():
     import gc
 
     gc.collect()
+
+
+def needs_sync_devices(n):
+    """Skip in-kernel-RDMA tests the host cannot simulate: interpret-mode
+    kernels whose devices block on each other's remote-DMA semaphores need
+    every device program resident at once, and the XLA CPU client runs at
+    most os.cpu_count() concurrently — beyond that the test would DEADLOCK
+    (dist/spmd.interpret_sync_capacity), not fail."""
+    from gpusolve_tpu.dist.spmd import interpret_sync_capacity
+
+    return pytest.mark.skipif(
+        interpret_sync_capacity() < n,
+        reason=f"in-kernel RDMA with {n} simulated devices deadlocks on a "
+        f"{interpret_sync_capacity()}-thread host",
+    )

@@ -44,7 +44,13 @@ def _params(mode: Mode, gamma: float, maxiter: int = 3) -> GridParams:
     )
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+from conftest import needs_sync_devices  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [(2, 1, 1), pytest.param((4, 1, 1), marks=needs_sync_devices(4))],
+)
 @pytest.mark.parametrize(
     "mode,gamma",
     [(Mode.LINEAR, 0.0), (Mode.NONLINEAR, 1.0)],
@@ -67,7 +73,10 @@ def test_pod_matches_leg_engine(mode, gamma, mesh_shape):
     assert np.all(sol[0] == 0.0) and np.all(sol[:, 0] == 0.0)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (4, 1, 1)])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [(2, 1, 1), pytest.param((4, 1, 1), marks=needs_sync_devices(4))],
+)
 def test_pod_newton_matches_leg_engine(mesh_shape):
     params = _params(Mode.NEWTON, 1.0)
     mesh = make_mesh(mesh_shape)
@@ -99,6 +108,7 @@ def test_pod_rejects_unsupported():
         solve_spmd(params, mesh, fuse="pod")
 
 
+@needs_sync_devices(4)
 def test_pod_accepts_ysplit_mesh():
     """Round 3: the pod engine runs on y-split meshes (2-D-trapezoid leg
     emitters + two-stage in-kernel RDMA — full parity tests in

@@ -20,6 +20,9 @@ from gpusolve_tpu.dist.spmd import (
 )
 
 
+from conftest import needs_sync_devices  # noqa: E402
+
+
 def _params(mode, gamma, grid, maxiter=2):
     return GridParams(
         maxiter=maxiter,
@@ -94,6 +97,7 @@ def test_z_mesh_axis_folds_into_y_pallas():
     np.testing.assert_allclose(hist_p, hist_x, rtol=3e-5)
 
 
+@needs_sync_devices(4)
 @pytest.mark.parametrize(
     "mode, gamma",
     [(Mode.LINEAR, 0.0), (Mode.NONLINEAR, 1.0)],
@@ -115,6 +119,7 @@ def test_pod_engine_ysplit_matches_xla(mode, gamma):
     np.testing.assert_allclose(hist_pod, hist_x, rtol=3e-5)
 
 
+@needs_sync_devices(8)
 def test_pod_engine_zfold_newton():
     """NEWTON on the pod engine over a folded (2,2,2) device mesh
     (data mesh (2,4,1); npod=1 keeps the ~12-inner-cycle outer driver
@@ -128,3 +133,17 @@ def test_pod_engine_zfold_newton():
     _, hist_pod, plan = newton_solve_spmd(p, mesh, cutoff=2, fuse="pod")
     assert plan.mesh_shape == (2, 4, 1)
     np.testing.assert_allclose(hist_pod, hist_x, rtol=2e-4)
+
+
+def test_pod_engine_gates_interpret_sync_capacity(monkeypatch):
+    """Hosts that cannot run every pod device program concurrently must get
+    a clear error, not the deadlock MULTICHIP_r03 died of."""
+    monkeypatch.setenv("GPUSOLVE_INTERPRET_SYNC_CAPACITY", "1")
+    p = _params(Mode.LINEAR, 0.0, (31, 31, 63))  # unique key: no lru reuse
+    mesh = make_mesh((2, 1, 1))
+    with pytest.raises(RuntimeError, match="in-kernel remote DMAs"):
+        solve_spmd(p, mesh, cutoff=2, fuse="pod")
+    with pytest.raises(RuntimeError, match="in-kernel remote DMAs"):
+        solve_spmd(
+            p, mesh, cutoff=2, local_backend="pallas", halo="rdma"
+        )
