@@ -69,13 +69,15 @@ def test_mesh_defaults_to_spmd_engine(tmp_path):
     assert "dist-engine=spmd" in r.stderr, r.stderr
 
 
-def test_wcycle_mesh_auto_falls_back_to_gspmd(tmp_path):
+def test_wcycle_mesh_auto_stays_on_spmd(tmp_path):
+    """Round 3 added W/F schedules to the explicit spmd engine
+    (dist/spmd trace-time schedule recursion), so `--cycle W --mesh ...`
+    no longer falls back to the gspmd engine under --dist-engine auto."""
     conf = write_conf(tmp_path, mode=0, maxiter=2)
     r = run_cli([conf, "--mesh", "2,1,1", "--cycle", "W",
                  "--explain-backend"])
     assert r.returncode == 0, r.stderr
-    assert "note: using the gspmd engine" in r.stderr
-    assert "dist-engine=gspmd" in r.stderr
+    assert "dist-engine=spmd" in r.stderr, r.stderr
 
 
 def test_spmd_save_and_load_state(tmp_path):
