@@ -1115,6 +1115,7 @@ def _make_leg(
         gens = [next(it) for _ in range(max(S - 1 + goff, 1))]
         outst = next(it)
         scc = next(it) if src_corr else None
+        pcr = next(it) if src_corr else None  # prolonged-coarse ring
         srv = next(it) if sub_rv else None
         rres = next(it) if restrict else None
         cst = next(it) if restrict else None
@@ -1418,6 +1419,12 @@ def _make_leg(
             if NSC > 1:
                 c_slab(jnp.int32(1), True)
                 c_slab(jnp.int32(1), False)
+            # Seed the prolonged-coarse ring: the first corr step (fine
+            # composite plane 1) reads cached planes a and b, but the
+            # in-step rule only computes the odd-parity b — prolong the
+            # first a here (its coarse slab 0 is waited above).
+            _m0 = (1 - _GH) // 2 + _GH
+            pcr[r3(_m0)] = prolong_yz(scc[r16(_m0)])
 
         def body(p, carry):
             s = p // _GH
@@ -1456,16 +1463,25 @@ def _make_leg(
                 # Stage 0 (lag 1): v + prolonged coarse correction.  The
                 # both-parity x factor in local coordinates (shard x
                 # starts are even: bx is even): fine block plane pp reads
-                # coarse local pp//2 and (pp+1)//2, composite +8.
+                # coarse local pp//2 and (pp+1)//2, composite +8.  The
+                # y/z interpolation runs once per COARSE plane (linearity:
+                # 0.5·(P(Cₐ)+P(C_b)) == P(0.5·(Cₐ+C_b))) through the
+                # 3-slot ``pcr`` ring — halving the MXU dot count, the
+                # up leg's dominant device cost (mega-kernel round-4
+                # per-pass breakdown; same structure here).
                 cqc = p - 1
+                in_corr = (cqc >= 1) & (cqc < bx + 2 * _GH - 1)
 
-                @pl.when((cqc >= 1) & (cqc < bx + 2 * _GH - 1))
+                @pl.when(in_corr & (((cqc - _GH) % 2) == 1))
                 def _(cqc=cqc):
-                    a = (cqc - _GH) // 2 + _GH
-                    b = (cqc - _GH + 1) // 2 + _GH
-                    ca = scc[r16(a)]
-                    cb = scc[r16(b)]
-                    e_q = prolong_yz(0.5 * (ca + cb))
+                    m = (cqc - _GH + 1) // 2 + _GH
+                    pcr[r3(m)] = prolong_yz(scc[r16(m)])
+
+                @pl.when(in_corr)
+                def _(cqc=cqc):
+                    pa = pcr[r3((cqc - _GH) // 2 + _GH)]
+                    pb = pcr[r3((cqc - _GH + 1) // 2 + _GH)]
+                    e_q = 0.5 * (pa + pb)
                     gens[0][r3(cqc)] = jnp.where(
                         keep_at(cqc), sv_plane(cqc) + e_q, zero_plane
                     )
@@ -1791,6 +1807,9 @@ def _make_leg(
     if src_corr:
         scratch.append(
             pltpu.VMEM((16, cby + 2 * ghy, czp), dtype)   # coarse ring
+        )
+        scratch.append(
+            pltpu.VMEM((3, bye, zz), dtype)  # prolonged-coarse ring
         )
     if sub_rv:
         scratch.append(pltpu.VMEM((16, bye, zz), dtype))  # srv ring

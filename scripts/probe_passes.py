@@ -51,6 +51,8 @@ results = {}
 prev = None
 # measure cumulative time at each truncation point
 points = list(range(0, full + 1))
+if os.environ.get("PROBE_POINTS"):
+    points = [int(x) for x in os.environ["PROBE_POINTS"].split(",")]
 for np_ in points:
     pv2._DEBUG_MAX_PASSES = np_ if np_ < full else None
     pv2._vcycle2_call.cache_clear()
