@@ -98,12 +98,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "groundwork)",
     )
     ap.add_argument(
-        "--fuse", choices=["leg", "pod"], default="leg",
+        "--fuse", choices=["auto", "leg", "pod"], default="auto",
         help="with --dist-engine spmd: one kernel per leg, or the "
         "pod-scale engine — ALL distributed legs per direction in one "
         "kernel with in-kernel RDMA exchange, replicated tail as one "
         "wavefront mega-kernel (dist/pod.py; x- and y-split meshes, a "
-        "z mesh axis folds into y)",
+        "z mesh axis folds into y).  auto (default) picks the pod "
+        "engine wherever its geometry/mode gates allow (511^3 1-chip: "
+        "16.3 vs the per-leg 23.3 ms/cycle), else the per-leg engine",
     )
     ap.add_argument(
         "--refine", action="store_true",
@@ -340,6 +342,46 @@ def main(argv=None) -> int:
         if args.explain_backend:
             for ln in lines:
                 print(f"backend: {ln}", file=sys.stderr)
+
+    # Resolve --fuse auto: the pod engine is the fast distributed path
+    # (round 4, 511^3 1-chip: 16.3 ms/cycle vs the per-leg engine's
+    # 23.3) — pick it wherever its gates allow.  Explicit engine-shaping
+    # flags win: --fuse leg/pod, --halo rdma (a per-leg feature), and
+    # --backend xla (jnp local compute) all pin the per-leg engine.
+    if args.fuse == "auto":
+        pod_why = None
+        if not (args.mesh and dist_engine == "spmd"):
+            pod_why = "no spmd mesh"
+        elif args.cycle != "V":
+            pod_why = "the pod engine is V-only"
+        elif args.halo != "ppermute":
+            pod_why = f"--halo {args.halo} is a per-leg engine feature"
+        elif args.backend == "xla":
+            pod_why = "--backend xla requests jnp local compute"
+        else:
+            import jax as _jax
+
+            from gpusolve_tpu.dist.pod import choose_npod
+            from gpusolve_tpu.dist.spmd import interpret_sync_capacity
+
+            n_dev = mesh_shape[0] * mesh_shape[1] * mesh_shape[2]
+            if (_jax.default_backend() not in ("tpu", "axon")
+                    and n_dev > interpret_sync_capacity()):
+                pod_why = (
+                    f"{n_dev} simulated devices exceed this host's "
+                    f"interpret sync capacity "
+                    f"({interpret_sync_capacity()})"
+                )
+            else:
+                folded = (mesh_shape[0], mesh_shape[1] * mesh_shape[2])
+                if choose_npod(params, folded) is None:
+                    pod_why = "geometry/mode outside the pod gates"
+        args.fuse = "leg" if pod_why else "pod"
+        if args.mesh and dist_engine == "spmd":
+            _explain([
+                f"fuse=auto -> {args.fuse}"
+                + (f" ({pod_why})" if pod_why else "")
+            ])
 
     # Reference announces the mode (src/main.cpp:44-51).
     mode_msg = {
