@@ -156,8 +156,6 @@ def _cycle_pass_count(params: GridParams) -> int:
     n = visits[-1]  # coarsest passes
     for l in range(nlev - 1):
         n += 2 * visits[l]  # one down + one up pass per visit
-        if params.mode == Mode.NONLINEAR:
-            n += visits[l]  # fas_fixup pass
     return n
 
 
@@ -206,6 +204,8 @@ def _plan_scratch(dims, shapes, zls, mode, pre: int, post: int, itemsize):
     plan.extend([(3, y0, zl0)] * n_gen)  # generation rings
     plan.append((3, y0, zl0))  # rres
     plan.append((3, y0, zl0))  # pring (per-coarse-plane prolongation cache)
+    if has_rv:
+        plan.append((3, yc0, zlc0))  # vr3c (restricted-v ring: tau fold)
     plan.append((16, yc0, zlc0))  # sc
     plan.append((16, yc0, zlc0))  # cst
     if has_rv:
@@ -334,6 +334,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         gens = [scratch.pop(0) for _ in range(n_gen)]  # (3, y0, zl0) each
         rres = scratch.pop(0)    # (3, y0, zl0) residual ring
         pring = scratch.pop(0)   # (3, y0, zl0) prolonged-coarse-plane ring
+        vr3c = scratch.pop(0) if has_rv else None  # (3, yc0, zlc0)
         sc = scratch.pop(0)      # (16, yc0, zlc0) coarse stream (prolong)
         cst = scratch.pop(0)     # (16, yc0, zlc0) restriction staging
         sc2 = scratch.pop(0) if has_rv else None
@@ -612,6 +613,10 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 # (15) is only reused by plane j=16, long after the last
                 # j=0 read.
                 outst[15, :yl, :zl] = jnp.zeros((yl, zl), dtype)
+            if consumer == "restrict" and has_rv and not c_tiny:
+                # Rv[0] is the coarse x halo (zero): the tau add for
+                # mt=1 reads it from ring slot r3(0)=0.
+                vr3c[0, :cyl, :czl] = jnp.zeros((cyl, czl), dtype)
             in_slabs(jnp.int32(0), True)
             if ci is not None:
                 coarse_slabs(jnp.int32(0), True)
@@ -848,7 +853,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                         if not c_tiny:
                             cst[r16(m - 1), :cyl, :czl] = out_c
                         else:
-                            tc[((m - 1) % 8), :cyl, :czl] = out_c
+                            # Direct index (tiny cnx <= 14, m <=
+                            # NCC*_TX <= 16): a mod-8 wrap here would
+                            # clobber planes 1..7 once cnx >= 9
+                            # (integer-halved dims, e.g. 19³ -> cnx 9).
+                            tc[m - 1, :cyl, :czl] = out_c
                         if has_rv:
                             # FAS also restricts the pre-smoothed v from
                             # the out staging (reference :106-107).
@@ -869,19 +878,76 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                             )
                             if not c_tiny:
                                 cst2[r16(m - 1), :cyl, :czl] = vout_c
+                                vr3c[r3(m), :cyl, :czl] = vout_c
                             else:
-                                tc[
-                                    8 + ((m - 1) % 8),
-                                    :cyl, :czl,
-                                ] = vout_c
+                                # Restricted v stages in tnv (allocated
+                                # whenever has_rv): tc's upper half only
+                                # fits cnx <= 7.
+                                tnv[m - 1, :cyl, :czl] = vout_c
+
+                    if has_rv and not c_tiny:
+                        # FAS tau fold (reference :110-112): the coarse
+                        # RHS leaves this pass COMPLETE —
+                        # f_c += A²ʰ(Rv)/h_c² + γ·Rv·e^{Rv} is applied to
+                        # the staged plane mt = m-1 once its +x
+                        # neighbour Rv[m] lands in the 3-slot ring
+                        # (vr3c[0] holds the zero coarse halo, set in the
+                        # prologue), replacing the separate fas_fixup
+                        # streaming pass per down leg.  Gated WITHOUT the
+                        # m <= NCC*_TX chunk bound: when cnx % 8 == 0
+                        # (integer-halved dims, e.g. 33³ -> cnx 16) the
+                        # last fold step m = cnx+1 exceeds it, and the
+                        # Rv[cnx+1] ring slot is never written then — the
+                        # +x tap is masked to the zero coarse halo
+                        # instead of read.
+                        fold_ready = (
+                            (((q + 32) % 2) == 1)
+                            & (m >= 2) & (m <= cnx + 1)
+                        )
+
+                        @pl.when(fold_ready)
+                        def _():
+                            mt = m - 1
+
+                            def rpv(dq):
+                                val = vr3c[r3(mt + dq), :cyl, :czl]
+                                if dq > 0:
+                                    val = jnp.where(
+                                        mt + dq > cnx, czero, val
+                                    )
+                                return val
+
+                            tau = stencil_acc(lc, rpv) + (
+                                gamma * rpv(0) * jnp.exp(rpv(0))
+                            )
+                            add = jnp.where(
+                                ckeep & (mt <= cnx), tau, czero
+                            )
+                            cst[r16(mt - 1), :cyl, :czl] = (
+                                cst[r16(mt - 1), :cyl, :czl] + add
+                            )
 
                     if not c_tiny:
-                        @pl.when(
-                            m_ready
-                            & (((m - 1) % _TX) == _TX - 1)
-                        )
-                        def _():
-                            cst_chunks((m - 1) // _TX)
+                        if has_rv:
+                            # Chunk c may ship only after the tau add to
+                            # its last plane (m = 8c+8), which happens
+                            # when Rv[8c+9] lands — one m later than the
+                            # plain schedule.  The final chunk therefore
+                            # starts in the epilogue (m never reaches
+                            # 8·NCC+1).
+                            @pl.when(
+                                m_ready & (((m - 9) % _TX) == 0)
+                                & (m >= 9)
+                            )
+                            def _():
+                                cst_chunks((m - 9) // _TX)
+                        else:
+                            @pl.when(
+                                m_ready
+                                & (((m - 1) % _TX) == _TX - 1)
+                            )
+                            def _():
+                                cst_chunks((m - 1) // _TX)
 
                 return carry
 
@@ -896,12 +962,42 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                         out_chunk(jnp.int32(NC - back), wait=True)
             if consumer == "restrict":
                 if not c_tiny:
+                    if has_rv:
+                        # Delayed-start schedule (tau fold): the final
+                        # chunk never starts in-loop — start it here,
+                        # after its last tau add (the loop's final m).
+                        cst_chunks(jnp.int32(NCC - 1))
                     for back in (2, 1):
                         if NCC - back >= 0:
                             cst_chunks(jnp.int32(NCC - back), wait=True)
                 else:
                     # Tiny coarse target: f staged in tc planes 0..cnx,
-                    # FAS v in planes 8..8+cnx; one whole-extent DMA each.
+                    # FAS v in tnv planes 0..cnx; one whole-extent DMA
+                    # each.  The staged +x halo plane (index cnx) gets
+                    # its masked-zero write at m = cnx+1, which m_ready
+                    # gates out when cnx % 8 == 0 (m caps at NCC*_TX =
+                    # cnx) — zero it explicitly; the DMA ships planes
+                    # 0..cnx including the halo.
+                    tc[cnx, :cyl, :czl] = czero
+                    if has_rv:
+                        tnv[cnx, :cyl, :czl] = czero
+                        # FAS tau fold, resident form: every restricted-v
+                        # plane sits in tnv[0..cnx-1], so finish the
+                        # coarse RHS in place before the DMA.
+                        for mt in range(1, cnx + 1):
+                            def rpv(dq, mt=mt):
+                                j = mt + dq
+                                if j < 1 or j > cnx:
+                                    return czero
+                                return tnv[j - 1, :cyl, :czl]
+
+                            tau = stencil_acc(lc, rpv) + (
+                                gamma * rpv(0) * jnp.exp(rpv(0))
+                            )
+                            tc[mt - 1, :cyl, :czl] = (
+                                tc[mt - 1, :cyl, :czl]
+                                + jnp.where(ckeep, tau, czero)
+                            )
                     ncst = cnx + 1
                     cps = [
                         pltpu.make_async_copy(
@@ -914,7 +1010,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                         for si, which in ((6, 0), (7, 2)):
                             cps.append(
                                 pltpu.make_async_copy(
-                                    tc.at[pl.ds(8, ncst), :cyl, :czl],
+                                    tnv.at[pl.ds(0, ncst), :cyl, :czl],
                                     buf(lc, which).at[
                                         pl.ds(1, ncst), :, :czl
                                     ],
@@ -1065,14 +1161,33 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                     )
                     return restrict_yz(sx_c, wy, wz, ckeep, czero, True)
 
+                if has_rv:
+                    # R(v) values, shared by the coarse v / rest_v
+                    # writes and the tau fold below.
+                    vout = [
+                        restr(cur, mm) if 1 <= mm <= cnx else czero
+                        for mm in range(cnx + 2)
+                    ]
                 sources = [(rpl, 1, 5)]
                 if has_rv:
                     # R(v) into coarse v and rest_v (reference :106-107).
                     sources.extend([(cur, 0, 6), (cur, 2, 7)])
                 for planes, which, si in sources:
                     for mm in range(shapes[lc][0]):
-                        val = restr(planes, mm) if 1 <= mm <= cnx \
-                            else czero
+                        if planes is cur and has_rv:
+                            val = vout[mm] if mm < len(vout) else czero
+                        else:
+                            val = restr(planes, mm) if 1 <= mm <= cnx \
+                                else czero
+                        if which == 1 and has_rv and 1 <= mm <= cnx:
+                            # FAS tau fold (reference :110-112): finish
+                            # the coarse RHS in place —
+                            # f_c += A²ʰ(Rv)/h_c² + γ·Rv·e^{Rv} —
+                            # instead of a separate fas_fixup pass.
+                            tau = stencil_acc(
+                                lc, lambda dq, mm=mm: vout[mm + dq]
+                            ) + gamma * vout[mm] * jnp.exp(vout[mm])
+                            val = val + jnp.where(ckeep, tau, czero)
                         tc[mm, :cyl, :czl] = val
                     cpc = pltpu.make_async_copy(
                         tc.at[pl.ds(0, shapes[lc][0]), :cyl, :czl],
@@ -1100,132 +1215,6 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
             if cp_out is not None:
                 cp_out.wait()
             return result
-
-        # ------------------------------------------------------------------
-        # FAS coarse-RHS fixup: f += A(restV)/h² + γ restV e^{restV}
-        # (reference :110-112; R(r) is already in f from the down pass).
-        # ------------------------------------------------------------------
-        def fas_fixup(lc):
-            nx, ny, nz = dims[lc]
-            yl = shapes[lc][1]
-            zl = zls[lc]
-            keep = keep_mask((yl, zl), ny, nz)
-            zero_plane = jnp.zeros((yl, zl), dtype)
-            fref = buf(lc, 1)
-            rvref = buf(lc, 2)
-
-            if tiny[lc]:
-                ax = shapes[lc][0]
-                cps = [
-                    pltpu.make_async_copy(
-                        rvref.at[pl.ds(0, ax), :, :zl],
-                        tv.at[pl.ds(0, ax), :yl, :zl],
-                        sem.at[0, 0],
-                    ),
-                    pltpu.make_async_copy(
-                        fref.at[pl.ds(0, ax), :, :zl],
-                        tf.at[pl.ds(0, ax), :yl, :zl],
-                        sem.at[1, 0],
-                    ),
-                ]
-                for cp in cps:
-                    cp.start()
-                for cp in cps:
-                    cp.wait()
-                rv = [tv[j, :yl, :zl] for j in range(nx + 2)]
-                for j in range(1, nx + 1):
-                    val = stencil_acc(
-                        lc, lambda dq, j=j: rv[j + dq],
-                        init=tf[j, :yl, :zl],
-                    ) + gamma * rv[j] * jnp.exp(rv[j])
-                    tf[j, :yl, :zl] = jnp.where(keep, val, zero_plane)
-                cp = pltpu.make_async_copy(
-                    tf.at[pl.ds(0, ax), :yl, :zl],
-                    fref.at[pl.ds(0, ax), :, :zl],
-                    sem.at[4, 0],
-                )
-                cp.start()
-                cp.wait()
-                return
-
-            NSL = _cdiv(nx + 2, _TX)
-            NC = _cdiv(nx, _TX)
-            nsteps = max(nx + 3, NC * _TX + 2)
-
-            def in_slabs(s, start):
-                for ref, dst, si in ((rvref, sv, 0), (fref, sf, 1)):
-                    cp = pltpu.make_async_copy(
-                        ref.at[pl.ds(s * _TX, _TX), :, :zl],
-                        dst.at[
-                            pl.ds((s % 2) * _TX, _TX), :yl, :zl
-                        ],
-                        sem.at[si, (s % 2)],
-                    )
-                    cp.start() if start else cp.wait()
-
-            def out_chunk(c, wait=False):
-                cp = pltpu.make_async_copy(
-                    outst.at[
-                        pl.ds((c % 2) * _TX, _TX), :yl, :zl
-                    ],
-                    fref.at[pl.ds(c * _TX + 1, _TX), :, :zl],
-                    sem.at[4, (c % 2)],
-                )
-                cp.wait() if wait else cp.start()
-
-            in_slabs(jnp.int32(0), True)
-
-            def body(p, _):
-                s = (p // _TX)
-                pos = (p % _TX)
-
-                @pl.when((pos == 0) & (s < NSL))
-                def _():
-                    in_slabs(s, False)
-
-                @pl.when((pos == 3) & (s + 1 < NSL))
-                def _():
-                    in_slabs(s + 1, True)
-
-                q = p - 1
-
-                @pl.when(
-                    (q >= 1) & (((q - 1) % _TX) == 0)
-                    & ((q - 1) // _TX >= 2)
-                )
-                def _():
-                    out_chunk((q - 1) // _TX - 2, wait=True)
-
-                @pl.when((q >= 1) & (q <= nx))
-                def _():
-                    def rd(dq):
-                        return sv[r16(q + dq), :yl, :zl]
-
-                    rvq = rd(0)
-                    val = stencil_acc(
-                        lc, rd, init=sf[r16(q), :yl, :zl]
-                    ) + gamma * rvq * jnp.exp(rvq)
-                    outst[r16(q - 1), :yl, :zl] = jnp.where(
-                        keep, val, zero_plane
-                    )
-
-                @pl.when((q > nx) & (q >= 1) & (q <= NC * _TX))
-                def _():
-                    outst[r16(q - 1), :yl, :zl] = zero_plane
-
-                @pl.when(
-                    (q >= 1) & (((q - 1) % _TX) == _TX - 1)
-                    & (q <= NC * _TX)
-                )
-                def _():
-                    out_chunk((q - 1) // _TX)
-
-                return 0
-
-            jax.lax.fori_loop(0, nsteps, body, 0)
-            for back in (2, 1):
-                if NC - back >= 0:
-                    out_chunk(jnp.int32(NC - back), wait=True)
 
         # ------------------------------------------------------------------
         # One V-cycle (reference :85-139).
@@ -1279,14 +1268,13 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 src = "hbm" if (l == 0 or not fresh) else "zero"
                 if not more():
                     return None
+                # FAS: the tau correction is folded into the restrict
+                # consumer (reference :110-112) — the coarse RHS leaves
+                # this pass complete; no separate fixup pass.
                 pass_fn(
                     l, src, ("sweep",) * pre, "restrict",
                     write_v=not rec(l),
                 )
-                if has_rv:
-                    if not more():
-                        return None
-                    fas_fixup(l + 1)
                 for si, sub in enumerate(subcycles[kind]):
                     cyc(l + 1, sub, first_visit=(si == 0))
                 if rec(l):

@@ -99,6 +99,42 @@ def _mk(op_name, n_iter):
                 c = jnp.dot(wy_r.T, t, preferred_element_type=jnp.float32)
                 t2 = jnp.dot(c, pz, preferred_element_type=jnp.float32)
                 return jnp.dot(py.T, t2, preferred_element_type=jnp.float32)
+            if op_name == "pr_mm3":
+                # 3-way bf16 split of the PLANE only (the transfer
+                # weights are exact in bf16): 3 one-pass bf16 dots per
+                # product vs HIGHEST's 6 both-operand passes
+                wz_r = _restrict_mat(ZL, ZL // 2)
+                wy_r = _restrict_mat(YL, YL // 2)
+                pz = _prolong_mat(ZL // 2, ZL)
+                py = _prolong_mat(YL // 2, YL)
+
+                def dot3(a, w, transpose=False):
+                    hi = a.astype(jnp.bfloat16)
+                    r1 = a - hi.astype(jnp.float32)
+                    mid = r1.astype(jnp.bfloat16)
+                    lo = (r1 - mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    wb = w.astype(jnp.bfloat16)
+                    acc = None
+                    for part in (hi, mid, lo):
+                        if transpose:
+                            t = jnp.dot(
+                                wb.T, part,
+                                preferred_element_type=jnp.float32,
+                            )
+                        else:
+                            t = jnp.dot(
+                                part, wb,
+                                preferred_element_type=jnp.float32,
+                            )
+                        acc = t if acc is None else acc + t
+                    return acc
+
+                t = dot3(x, wz_r)
+                c = dot3(t, wy_r, transpose=True)
+                t2 = dot3(c, pz)
+                return dot3(t2, py, transpose=True)
             if op_name == "pr_jr":
                 # restrict on the MXU, prolong via jnp.repeat + roll (VPU):
                 # fine = 0.5*(rep + roll(rep, -1)) where rep elementwise-
@@ -161,7 +197,7 @@ def main():
     y = jax.random.uniform(jax.random.PRNGKey(1), (YL, ZL), jnp.float32,
                            0.1, 0.9)
     ops = ["add", "fma_s", "fma_v", "roll_y", "roll_z", "select", "exp",
-           "stage", "pr_mm", "pr_jr", "pr_sl"]
+           "stage", "pr_mm", "pr_mm3", "pr_jr", "pr_sl"]
     only = os.environ.get("PROBE_OPS")
     if only:
         ops = [o for o in ops if o in only.split(",")]

@@ -99,6 +99,38 @@ def test_vcycle2_multislab_level():
         assert g == pytest.approx(w, rel=2e-4)
 
 
+@pytest.mark.parametrize(
+    "mode, dims",
+    [
+        # 2^k / 3*2^k grids (supported: every streamed x-extent % 8 is 0)
+        # exercise staging edges the 2^k-1 family never hits:
+        #  - tiny-coarse restrict with cnx >= 9 (24³ -> cnx 12): the old
+        #    mod-8 staging wrap silently clobbered planes 1..4,
+        #  - tiny cnx = 8 (16³): the staged +x halo write at m = cnx+1 is
+        #    gated out (m caps at NCC*_TX = cnx) and FAS v staging
+        #    overflowed tc's upper half,
+        #  - streamed restrict with cnx % 8 == 0 (48³ -> cnx 24): the FAS
+        #    tau fold's last plane lands at m = cnx+1, beyond the chunk
+        #    bound.
+        (Mode.LINEAR, (24, 24, 24)),
+        (Mode.NONLINEAR, (16, 16, 16)),
+        (Mode.NONLINEAR, (48, 48, 48)),
+        (Mode.NEWTON, (24, 24, 24)),
+    ],
+)
+def test_vcycle2_pow2_and_3pow2_dims(mode, dims):
+    p = make_params(mode, dims)
+    assert pv2.supported(p), pv2.unsupported_reason(p)
+    state = seeded_state(p)
+    _, want = xla_cycles(state, p, 2)
+    fields, norms = pv2.vcycle2_fused(
+        state.levels, p, max_cycles=2, interpret=True
+    )
+    got = [float(np.sqrt(n)) for n in np.asarray(norms)]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=2e-4)
+
+
 def test_vcycle2_early_stop_and_ncycles():
     p = make_params(Mode.LINEAR, (15, 15, 15))
     state = build_grid(p)
