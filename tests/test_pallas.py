@@ -286,3 +286,33 @@ def test_fused_vcycle_general_stencil():
     want_v = np.asarray(want_state.levels[0].v)
     scale = np.abs(want_v).max() + 1e-30
     np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize(
+    "mode, dims",
+    [
+        # Non-2^k-1 dims (integer-halved hierarchies): v1 has no x-chunk
+        # alignment gate, so it is the fused fallback for grids the
+        # wavefront kernel rejects (e.g. 21³); pin its parity there.
+        (Mode.LINEAR, (21, 21, 21)),
+        (Mode.NONLINEAR, (24, 24, 24)),
+    ],
+)
+def test_vcycle_fused_nonstandard_dims(mode, dims):
+    from gpusolve_tpu import build_grid
+    from gpusolve_tpu.ops import pallas_vcycle as pv
+    from gpusolve_tpu.solver import vcycle as vc
+
+    p = make_params(mode, dims, backend="xla")
+    state = build_grid(p)
+    want_state, want_res = vc.vcycle(
+        state, params=vc.trace_params(p), shardings=None
+    )
+    fields, sumsq = pv.vcycle_fused(state.levels, p, interpret=True)
+    assert float(jnp.sqrt(sumsq)) == pytest.approx(
+        float(want_res), rel=2e-4
+    )
+    got_v = np.asarray(fields[0][0])
+    want_v = np.asarray(want_state.levels[0].v)
+    scale = np.abs(want_v).max() + 1e-30
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5 * scale)
