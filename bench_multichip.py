@@ -53,6 +53,8 @@ def main() -> None:
     ap.add_argument("--check-every", type=int, default=0,
                     help="cycles per dispatch (default: all in one batch)")
     ap.add_argument("--mode", type=int, default=0)
+    ap.add_argument("--cycle", choices=["V", "W", "F"], default="V",
+                    help="cycling schedule (both engines; beyond-reference)")
     ap.add_argument("--cutoff", type=int, default=4,
                     help="per-shard extent below which levels replicate")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
@@ -103,6 +105,7 @@ def main() -> None:
         gamma=40.0 if Mode(args.mode) != Mode.LINEAR else 1.0,
         stencil=Stencil.poisson_7pt(),
         print_progress=False,
+        cycle_type=args.cycle,
     )
 
     devices = jax.devices()
@@ -155,6 +158,7 @@ def main() -> None:
         "per_cycle_ms": round(per_cycle * 1e3, 2),
         "total_gnnz_per_s": round(nnz / per_cycle / 1e9, 3),
         "mode": Mode(args.mode).name,
+        "cycle": args.cycle,  # nnz model counts V-visits; W/F do more
         "cycles": args.cycles,
         "check_every": ck,
         "final_residual": history[-1] if history else None,

@@ -301,14 +301,6 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.mesh and args.dist_engine == "spmd" and \
-                args.fuse == "pod":
-            print(
-                "--cycle W/F is not available on the pod engine; drop "
-                "--fuse pod (per-leg spmd) or use --dist-engine gspmd",
-                file=sys.stderr,
-            )
-            return 1
 
     # Resolve the distribution engine: the explicit spmd engine (Pallas
     # shard-local kernels, fused legs) is the fast one and the default
@@ -352,8 +344,6 @@ def main(argv=None) -> int:
         pod_why = None
         if not (args.mesh and dist_engine == "spmd"):
             pod_why = "no spmd mesh"
-        elif args.cycle != "V":
-            pod_why = "the pod engine is V-only"
         elif args.halo != "ppermute":
             pod_why = f"--halo {args.halo} is a per-leg engine feature"
         elif args.backend == "xla":

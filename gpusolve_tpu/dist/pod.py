@@ -62,8 +62,6 @@ def choose_npod(params: GridParams, mesh_xy,
     ``mesh_xy`` is the (mx, my) data decomposition."""
     if isinstance(mesh_xy, int):
         mesh_xy = (mesh_xy, 1)
-    if params.cycle_type != "V":
-        return None
     dims = params.level_dims()
     best = None
     for npod in range(1, len(dims)):
@@ -110,7 +108,17 @@ class PodPlan:
             params, self.mesh_shape[:2], npod
         )
         self.block = [lv[:3] for lv in self.levels[:npod]]
-        self.alloc = [lv[:3] for lv in self.levels[:npod]]
+        # SpmdPlan contract: ``alloc`` is the GLOBAL allocation per level
+        # (block * mesh on the distributed prefix) — solve_refine_spmd
+        # and the checkpoint fingerprint read it that way.
+        self.alloc = [
+            (
+                self.mesh_shape[0] * bx,
+                self.mesh_shape[1] * by,
+                zz,
+            )
+            for (bx, by, zz) in self.block
+        ]
         for l in range(npod, self.nlev):
             self.alloc.append(alloc_shape(self.dims[l]))
         # _clean_level hooks (dist/spmd.py): every pod level is a Pallas
@@ -121,10 +129,67 @@ class PodPlan:
         self.fused_up_levels = tuple(range(1, npod + 1))
 
 
+def _linearize(cycle_type: str, npod: int):
+    """Linearize the (possibly W/F) schedule over the distributed levels
+    into maximal launch groups: ``("down", a)`` — fused down legs
+    a..npod-1 (every descent runs straight to the tail, so down runs are
+    always suffix chains), ``("tail", kind, count)`` — count consecutive
+    same-kind replicated-tail cycles (one mega-kernel launch, in-kernel
+    cycle loop), ``("up", a)`` — fused up legs npod-1..a (every ascent
+    starts at the tail; it stops where a level still owes sub-cycles).
+    V linearizes to exactly the 3-launch structure.  Mirrors
+    solver/vcycle.py's trace-time recursion (subcycles: W -> (W, W),
+    F -> (F, V))."""
+    subcycles = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+    events = []
+
+    def cyc(l, kind):
+        if l == npod:
+            events.append(("tail", kind))
+            return
+        events.append(("down", l))
+        for sub in subcycles[kind]:
+            cyc(l + 1, sub)
+        events.append(("up", l))
+
+    cyc(0, cycle_type)
+    groups = []
+    i = 0
+    while i < len(events):
+        e = events[i]
+        if e[0] == "down":
+            a = e[1]
+            while events[i][0] == "down":
+                i += 1
+            groups.append(("down", a))
+        elif e[0] == "tail":
+            kind = e[1]
+            cnt = 0
+            while (
+                i < len(events) and events[i][0] == "tail"
+                and events[i][1] == kind
+            ):
+                cnt += 1
+                i += 1
+            groups.append(("tail", kind, cnt))
+        else:
+            while i < len(events) and events[i][0] == "up":
+                a = events[i][1]
+                i += 1
+            groups.append(("up", a))
+    return tuple(groups)
+
+
 def build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int = 4):
-    """(init_fn, cycle_fn, plan) with the dist/spmd engine contract."""
-    if params.cycle_type != "V":
-        raise ValueError("the pod engine implements V-cycles only")
+    """(init_fn, cycle_fn, plan) with the dist/spmd engine contract.
+
+    W/F schedules (beyond-reference) linearize into maximal runs of
+    consecutive legs — every down run is a suffix chain [a..npod-1]
+    ending at the tail and every up run a suffix chain starting there
+    (see _linearize) — so the whole-direction kernels serve them with a
+    ``level_offset``; the replicated tail runs its own W/F schedule
+    inside the mega-kernel, consecutive same-kind visits batched via its
+    in-kernel cycle loop."""
     key = dataclasses.replace(
         params, maxiter=0, tol=0.0, print_progress=False
     )
@@ -163,7 +228,11 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
         _spmd.gate_interpret_sync(
             int(mesh.devices.size), "the pod engine (fuse='pod')"
         )
-    tail_params = params.replace(grid_dim=dims[npod])
+    groups = _linearize(params.cycle_type, npod)
+    tail_params_by_kind = {
+        g[1]: params.replace(grid_dim=dims[npod], cycle_type=g[1])
+        for g in groups if g[0] == "tail"
+    }
     cb_b, cy_b, cz_b = levels[npod][:3]
     ta = plan.alloc[npod]
 
@@ -351,78 +420,112 @@ def _build_pod_solver(params: GridParams, mesh: Mesh, cutoff: int):
             if aux is not None:
                 state[base + 2] = aux
 
-        v0, f0 = state[0], state[1]
+        f0 = state[1]
         nvs = [sget(l)[2] for l in range(npod)] if has_nv else []
         my = jnp.stack([
             lax.axis_index("x").astype(jnp.int32), _yidx()
         ]).reshape(1, 2)
         bounds = [_bounds(l) for l in range(npod)]
-
-        # ---- all distributed down legs: ONE kernel -----------------------
-        downs = pallas_pod.pod_down(
-            v0, f0, nvs, bounds, my, levels, params, kmesh,
-            interpret=interp,
-        )
-
-        # ---- consolidation + replicated tail (v2 mega-kernel) ------------
-        xzr_b = downs[npod - 1][1]
-        tf0 = _embed_tail(xzr_b)
-        if has_rv:
-            tv0 = _embed_tail(downs[npod - 1][2])
-            trv0 = tv0
-        else:
-            tv0 = jnp.zeros(ta, dtype)
-            trv0 = None
-        targs = []
-        for t in range(npod, nlev):
-            arrs = sget(t)
-            if t == npod:
-                targs.append(tv0)
-                targs.append(tf0)
-                if has_nv:
-                    targs.append(arrs[2])
-                elif has_rv:
-                    targs.append(trv0)
-            else:
-                targs.extend(arrs[:n_arr])
-        ncyc = jnp.full((1, 1), 1, jnp.int32)
         thr = jnp.full((1, 1), -1.0, jnp.float32)
-        touts = pv2.batch_call(
-            tuple(targs), tail_params, 1, ncyc, thr, interpret=interp
-        )
-        for i, t in enumerate(range(npod, nlev)):
-            o = touts[i * n_arr : (i + 1) * n_arr]
-            sset(t, v=o[0], f=o[1],
-                 aux=o[2] if n_arr == 3 else None)
 
-        # ---- boundary coarse operand -------------------------------------
-        vt = sget(npod)[0]
-        if has_rv:
-            vt = vt - sget(npod)[2]
-        cvb, cvb_slabs = _slice_boundary(vt)
+        # Latest down-leg outputs per level (the tail embed reads the
+        # deepest one; W/F re-descents refresh them).  Only the FIRST
+        # tail group after a down-run embeds a fresh coarse start —
+        # consecutive tail groups of a different kind (F's (F, V)
+        # subcycles) continue from the tail state the previous group
+        # left (same-kind neighbours batch into one launch instead, the
+        # mega-kernel's in-kernel loop carrying state).
+        last_deep = [None]
+        fresh_tail = [False]
+        ss_final = [None]
 
-        # ---- all distributed up legs: ONE kernel -------------------------
-        vs = [downs[l][0] for l in range(npod)]
-        fs = [f0] + [downs[l][1] for l in range(npod - 1)]
-        rvs = [None] + [
-            downs[l][2] if has_rv else None for l in range(npod - 1)
-        ]
-        vups, pss = pallas_pod.pod_up(
-            vs, fs, nvs, rvs, cvb, cvb_slabs, bounds, my, levels,
-            params, kmesh, interpret=interp,
-        )
+        for grp in groups:
+            if grp[0] == "down":
+                # ---- down legs a..npod-1: ONE kernel (suffix chain) ------
+                a = grp[1]
+                va, fa = sget(a)[0], sget(a)[1]
+                nvs_c = (
+                    [sget(l)[2] for l in range(a, npod)]
+                    if has_nv else []
+                )
+                downs = pallas_pod.pod_down(
+                    va, fa, nvs_c, bounds[a:], my, levels[a:], params,
+                    kmesh, interpret=interp, level_offset=a,
+                )
+                for i, l in enumerate(range(a, npod)):
+                    sset(l, v=downs[i][0])
+                    if l + 1 < npod:
+                        sset(
+                            l + 1, f=downs[i][1],
+                            aux=downs[i][2] if has_rv else None,
+                        )
+                last_deep[0] = downs[-1]
+                fresh_tail[0] = True
+            elif grp[0] == "tail":
+                # ---- consolidation + replicated tail (v2 mega-kernel) ----
+                kind, cnt = grp[1], grp[2]
+                if fresh_tail[0]:
+                    dn = last_deep[0]
+                    tf0 = _embed_tail(dn[1])
+                    if has_rv:
+                        tv0 = _embed_tail(dn[2])
+                        trv0 = tv0
+                    else:
+                        tv0 = jnp.zeros(ta, dtype)
+                        trv0 = None
+                targs = []
+                for t in range(npod, nlev):
+                    arrs = sget(t)
+                    if t == npod and fresh_tail[0]:
+                        targs.append(tv0)
+                        targs.append(tf0)
+                        if has_nv:
+                            targs.append(arrs[2])
+                        elif has_rv:
+                            targs.append(trv0)
+                    else:
+                        targs.extend(arrs[:n_arr])
+                fresh_tail[0] = False
+                ncyc = jnp.full((1, 1), cnt, jnp.int32)
+                touts = pv2.batch_call(
+                    tuple(targs), tail_params_by_kind[kind], cnt, ncyc,
+                    thr, interpret=interp,
+                )
+                for i, t in enumerate(range(npod, nlev)):
+                    o = touts[i * n_arr : (i + 1) * n_arr]
+                    sset(t, v=o[0], f=o[1],
+                         aux=o[2] if n_arr == 3 else None)
+            else:
+                # ---- up legs npod-1..a: ONE kernel (suffix chain) --------
+                a = grp[1]
+                vt = sget(npod)[0]
+                if has_rv:
+                    vt = vt - sget(npod)[2]
+                cvb, cvb_slabs = _slice_boundary(vt)
+                vs = [sget(l)[0] for l in range(a, npod)]
+                fs = [sget(l)[1] for l in range(a, npod)]
+                rvs = [None] + [
+                    sget(l)[2] if has_rv else None
+                    for l in range(a + 1, npod)
+                ]
+                nvs_c = (
+                    [sget(l)[2] for l in range(a, npod)]
+                    if has_nv else []
+                )
+                emit = a == 0
+                vups, pss = pallas_pod.pod_up(
+                    vs, fs, nvs_c, rvs, cvb, cvb_slabs, bounds[a:], my,
+                    levels[a:], params, kmesh, interpret=interp,
+                    level_offset=a, emit_norm=emit,
+                )
+                for i, l in enumerate(range(a, npod)):
+                    sset(l, v=vups[i])
+                if emit:
+                    ss_final[0] = _edge_norm_complete(
+                        vups[0], f0, nvs[0] if has_nv else None, pss
+                    )
 
-        # ---- state update + norm ----------------------------------------
-        sset(0, v=vups[0])
-        for l in range(1, npod):
-            sset(
-                l, v=vups[l], f=downs[l - 1][1],
-                aux=downs[l - 1][2] if has_rv else None,
-            )
-        ss = _edge_norm_complete(
-            vups[0], f0, nvs[0] if has_nv else None, pss
-        )
-        return tuple(state) + (jnp.sqrt(ss),)
+        return tuple(state) + (jnp.sqrt(ss_final[0]),)
 
     out_specs = in_specs + (repl_spec,)
     smapped = _spmd._shard_map(

@@ -1582,11 +1582,6 @@ def spmd_eligible(params: GridParams, mesh_shape) -> Optional[str]:
     """None when the explicit spmd engine can run this configuration, else
     a human-readable reason (the CLI's auto engine selection and
     fast-path-gating notes)."""
-    if params.cycle_type != "V":
-        # W/F run on the per-leg engine; the pod engine stays V-only.
-        dims = params.level_dims()
-        if len(dims) < 2:
-            return "single-level grid"
     dims = params.level_dims()
     if len(dims) < 2:
         return "single-level grid"

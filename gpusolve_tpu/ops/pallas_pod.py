@@ -705,12 +705,19 @@ def _pod_down_call(levels, hs, key, dtype_name, S: int, mesh,
 
 
 def pod_down(v0, f0, nvs, bounds, my_xy, levels, params: GridParams,
-             mesh, interpret: bool = False):
+             mesh, interpret: bool = False, level_offset: int = 0):
     """Run all fused down legs in one launch.  ``my_xy`` is a (1, 2)
     int32 [x index, folded-y index]; ``mesh = (mx, my, mz_raw)``.
     Returns per-level ``(vout, xzr[, xzv])`` tuples (coarse outputs
-    final: interior-masked, FAS tau-corrected)."""
-    hs = tuple(params.level_h(l) for l in range(len(levels)))
+    final: interior-masked, FAS tau-corrected).
+
+    ``level_offset``: global level of ``levels[0]`` — W/F schedules
+    (dist/pod) launch suffix chains that re-descend from a mid level;
+    the chain then streams its head level's v (chain position 0 always
+    streams), which is exactly the re-visit semantics."""
+    hs = tuple(
+        params.level_h(level_offset + l) for l in range(len(levels))
+    )
     call, n_out_main = _pod_down_call(
         levels, hs, _compile_key(params), v0.dtype.name,
         params.pre_smoothing, mesh, interpret,
@@ -732,7 +739,7 @@ def pod_down(v0, f0, nvs, bounds, my_xy, levels, params: GridParams,
 
 @functools.lru_cache(maxsize=None)
 def _pod_up_call(levels, hs, key, dtype_name, T: int, mesh,
-                 interpret: bool):
+                 interpret: bool, emit_norm: bool = True):
     mode = key[2]
     has_nv = mode == Mode.NEWTON
     has_rv = mode == Mode.NONLINEAR
@@ -752,7 +759,7 @@ def _pod_up_call(levels, hs, key, dtype_name, T: int, mesh,
         legs[lc] = _make_leg(
             (bx, by, zz), zz, dtype_name, key, hs[lc], T, False,
             True, (cby, czz, czz, ny, nz),
-            "norm" if lc == 0 else None, 0, 0, 0, 0,
+            "norm" if (lc == 0 and emit_norm) else None, 0, 0, 0, 0,
             sub_rv=sub_rv, ghy=ghy,
         )
 
@@ -867,6 +874,10 @@ def _pod_up_call(levels, hs, key, dtype_name, T: int, mesh,
                 slab_refs[n_per * i + j] for j in range(n_per)
             )
 
+        if not emit_norm:
+            # Mid-schedule up chains (W/F) skip the norm consumer; the
+            # SMEM output still exists — pin it defined.
+            sum_ref[0, 0] = jnp.zeros((), sum_ref.dtype)
         zbufs[0][...] = jnp.zeros_like(zbufs[0])
         if ysplit:
             zbufs[1][...] = jnp.zeros_like(zbufs[1])
@@ -914,7 +925,7 @@ def _pod_up_call(levels, hs, key, dtype_name, T: int, mesh,
                 leg_refs.extend(slabs[(lc, "rv")])
             leg_refs.append(b_refs[lc])
             leg_refs.append(vups[lc])
-            if lc == 0:
+            if lc == 0 and emit_norm:
                 leg_refs.append(sum_ref)
             leg_refs.extend(scr[s0:s1])
             leg(tuple(leg_refs))
@@ -955,16 +966,25 @@ def _pod_up_call(levels, hs, key, dtype_name, T: int, mesh,
 
 
 def pod_up(vs, fs, nvs, rvs, cvb, cvb_slabs, bounds, my_xy, levels,
-           params: GridParams, mesh, interpret: bool = False):
+           params: GridParams, mesh, interpret: bool = False,
+           level_offset: int = 0, emit_norm: bool = True):
     """Run all fused up legs in one launch.  ``vs/fs`` are the down
     kernel's per-level (v, f); ``rvs[lc]`` (FAS, lc>=1) the restricted-v
     fields; ``cvb`` + ``cvb_slabs`` (x pair [+ y pair under the split])
     the boundary coarse operand (already v-restV).
-    Returns ``(vups, partial_sumsq)``."""
-    hs = tuple(params.level_h(l) for l in range(len(levels)))
+    Returns ``(vups, partial_sumsq)``.
+
+    ``level_offset``/``emit_norm``: W/F suffix chains (dist/pod) — the
+    chain-shallowest leg writes the TRUE v (no sub_rv fold, chain
+    position 0), which the schedule's next event (a re-descent at that
+    level, or the final state) reads; ``emit_norm`` only on the chain
+    that ends at global level 0."""
+    hs = tuple(
+        params.level_h(level_offset + l) for l in range(len(levels))
+    )
     call, npod, sum_idx = _pod_up_call(
         levels, hs, _compile_key(params), vs[0].dtype.name,
-        params.post_smoothing, mesh, interpret,
+        params.post_smoothing, mesh, interpret, emit_norm,
     )
     args = []
     for lc in range(npod):

@@ -93,6 +93,28 @@ def test_pod_newton_matches_leg_engine(mesh_shape):
     )
 
 
+@pytest.mark.parametrize("cycle", ["W", "F"])
+@pytest.mark.parametrize(
+    "mode,gamma",
+    [(Mode.LINEAR, 0.0), (Mode.NONLINEAR, 1.0)],
+    ids=["linear", "nonlinear"],
+)
+def test_pod_wf_matches_leg_engine(cycle, mode, gamma):
+    """W/F schedules on the pod engine (late round 4): the linearized
+    suffix-chain launches (dist/pod._linearize) must reproduce the
+    per-leg engine's W/F residual histories (themselves golden against
+    the single-device solver in test_wfcycles)."""
+    params = _params(mode, gamma).replace(cycle_type=cycle)
+    mesh = make_mesh((2, 1, 1))
+    _, hist_leg, _ = solve_spmd(
+        params, mesh, cutoff=2, local_backend="pallas"
+    )
+    _, hist_pod, _ = solve_spmd(params, mesh, cutoff=2, fuse="pod")
+    np.testing.assert_allclose(
+        np.asarray(hist_pod), np.asarray(hist_leg), rtol=5e-4
+    )
+
+
 def test_pod_multi_level_chain_engages():
     """At (4,1,1) on 63^3 the npod choice must cover >= 2 fused levels so
     the chained mid-level exchange (coarse outputs feeding the next leg
@@ -102,7 +124,18 @@ def test_pod_multi_level_chain_engages():
 
 
 def test_pod_rejects_unsupported():
-    params = _params(Mode.LINEAR, 0.0).replace(cycle_type="W")
+    # A corner-tap radius-1 stencil falls off every fused-leg gate
+    # (pallas_spmd.supported), so choose_npod finds no depth.  (W/F
+    # cycles, the previous probe here, run on the pod engine since late
+    # round 4.)
+    corner = Stencil(
+        values=(6.0, -1.0, -1.0, -1.0, -1.0, -1.0, -0.5),
+        offsets=(
+            (0, 0, 0), (1, 0, 0), (-1, 0, 0),
+            (0, 1, 0), (0, -1, 0), (0, 0, 1), (1, 1, 0),
+        ),
+    )
+    params = _params(Mode.LINEAR, 0.0).replace(stencil=corner)
     mesh = make_mesh((2, 1, 1))
     with pytest.raises(ValueError):
         solve_spmd(params, mesh, fuse="pod")

@@ -72,23 +72,24 @@ def test_fuse_auto_falls_back_for_rdma_halo(tmp_path):
     assert "per-leg engine feature" in r.stderr, r.stderr
 
 
-def test_fuse_auto_falls_back_for_wcycle(tmp_path):
-    """The pod engine is V-only; --cycle W under auto runs the per-leg
-    engine (which gained W/F in round 3) without erroring."""
+def test_fuse_auto_picks_pod_for_wcycle(tmp_path):
+    """Late round 4: the pod engine runs W/F schedules (suffix-chain
+    launches, dist/pod._linearize), so --cycle W under auto engages it
+    wherever the other gates allow."""
     conf = write_conf(tmp_path, mode=0, dim=15)
     r = run_cli([conf, "--mesh", "2,1,1", "--cycle", "W",
                  "--explain-backend"])
     assert r.returncode == 0, r.stderr
-    assert "fuse=auto -> leg" in r.stderr, r.stderr
-    assert "V-only" in r.stderr, r.stderr
+    assert "fuse=auto -> pod" in r.stderr, r.stderr
+    assert len(PROGRESS_RE.findall(r.stdout)) == 2, r.stdout
 
 
-def test_explicit_fuse_pod_with_wcycle_still_errors(tmp_path):
+def test_explicit_fuse_pod_with_wcycle_runs(tmp_path):
     conf = write_conf(tmp_path, mode=0, dim=15)
     r = run_cli([conf, "--mesh", "2,1,1", "--cycle", "W",
                  "--fuse", "pod"])
-    assert r.returncode != 0
-    assert "pod engine" in r.stderr
+    assert r.returncode == 0, r.stderr
+    assert len(PROGRESS_RE.findall(r.stdout)) == 2, r.stdout
 
 
 def test_fuse_auto_respects_interpret_capacity(tmp_path):
