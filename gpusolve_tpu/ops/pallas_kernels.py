@@ -45,6 +45,13 @@ AVAILABLE = True
 
 # VMEM budget (bytes) used when sizing x-slabs.
 _VMEM_BUDGET = 11 * 1024 * 1024
+# Mosaic scoped-VMEM limit for these kernels: the default 16 MB counts
+# scratch PLUS the compiler's own temporaries (the transfer kernels'
+# de-interleave reshapes and banded-matmul intermediates), which the
+# _VMEM_BUDGET slab sizing does not model — 511^3 Newton's
+# _prepare_find_error restrict allocated 20.9 MB and OOMed at compile.
+# v5e has 128 MB of VMEM; 64 MB leaves headroom for either side.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -198,6 +205,9 @@ def _jacobi_call(shape, dims, dtype_name, key, h: float, interpret: bool):
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         scratch_shapes=scratch,
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
@@ -380,6 +390,9 @@ def _residual_call(
         ),
         scratch_shapes=scratch,
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
@@ -522,6 +535,9 @@ def _restrict_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
@@ -629,6 +645,9 @@ def _prolong_call(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 

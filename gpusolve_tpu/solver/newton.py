@@ -91,16 +91,39 @@ def _update_newton_v(state: GridState, params: GridParams) -> GridState:
     return dataclasses.replace(state, levels=levels)
 
 
+def _needs_pipeline_sync(params: GridParams) -> bool:
+    """True for grids whose NEWTON state is large enough that letting
+    several whole-hierarchy programs pile up in the async dispatch queue
+    has exhausted device memory (observed at 511^3: ~4.6 GB of state,
+    5 arrays/level + newton_f)."""
+    nx, ny, nz = params.grid_dim
+    return nx * ny * nz >= 2 ** 26
+
+
 def find_error(
     state: GridState,
     params: GridParams,
     shardings: Optional[Tuple] = None,
     timer: Optional[Timer] = None,
+    f_norm: Optional[float] = None,
 ) -> GridState:
     """Solve J(ũ)·e = F with a short inner MG solve and update ũ
-    (reference: src/cpu/NewtonSolver.cpp:83-108)."""
+    (reference: src/cpu/NewtonSolver.cpp:83-108).
+
+    ``f_norm``: ||F||₂ from the preceding comp_f, if the caller has it.
+    The inner system starts at e = 0, so its initial residual is
+    ``f - A·0 - γ(1+nv)·0·e^nv = F`` exactly — passing the norm skips
+    vc.solve's whole-volume initial residual pass (one less full-grid
+    program per Newton step, and at 511³ the program that tipped the
+    tunneled allocator over: ~4.6 GB of NEWTON state plus several
+    in-flight whole-hierarchy programs exhausted device memory)."""
     tp = vc.trace_params(params, shardings)
     state = _prepare_find_error(state, params=tp, shardings=shardings)
+    if f_norm is None and _needs_pipeline_sync(params):
+        # Big-grid async-dispatch serialization (see f_norm above): a
+        # scalar fetch from the (tiny) coarsest level retires the
+        # enqueued programs before the inner solve enqueues its own.
+        float(state.levels[-1].v[0, 0, 0])
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
     # Batch all inner cycles into one wavefront launch (the in-kernel
     # tol=0.1 early stop preserves the reference's inner-solve behavior,
@@ -108,7 +131,7 @@ def find_error(
     # instead of ~11.
     state, _ = vc.solve(
         state, inner, shardings=shardings, timer=timer,
-        check_every=inner.maxiter,
+        check_every=inner.maxiter, initial_residual=f_norm,
     )
     return _update_newton_v(state, params=tp)
 
@@ -148,8 +171,13 @@ def newton_solve(
 
     for i in range(params.maxiter):
         t0 = time.perf_counter()
-        state, _ = comp_f(state, params=tp)
-        state = find_error(state, params, shardings=shardings, timer=timer)
+        state, fn = comp_f(state, params=tp)
+        # ||F|| doubles as the inner solve's initial residual (the inner
+        # system starts at e = 0) — see find_error's f_norm note.
+        state = find_error(
+            state, params, shardings=shardings, timer=timer,
+            f_norm=float(fn),
+        )
         state, res = comp_f(state, params=tp)
         if timer is not None:
             with timer.section("sumBuffer"):
