@@ -73,28 +73,40 @@ def peak_bandwidth_gbps(device) -> float:
 
 
 def vcycle_cost_model(params, itemsize: int):
-    """(stencil_nnz, min_hbm_bytes) for one V-cycle of the reference's
+    """(stencil_nnz, min_hbm_bytes) for one cycle of the reference's
     pass-per-op structure, counted on dense logical (interior+halo) volumes.
+
+    Honors ``params.cycle_type``: W/F cycles visit level ``l`` more than
+    once per cycle (the same visit recursion the mega-kernel's pass budget
+    uses, ops/pallas_vcycle2._level_visits), so their nnz/bytes reflect the
+    work actually done rather than the V-cycle visit model.
     """
+    from gpusolve_tpu.ops.pallas_vcycle2 import _level_visits
+
     dims = params.level_dims()
     nlev = params.num_levels
     pre, post = params.pre_smoothing, params.post_smoothing
+    visits = _level_visits(nlev, getattr(params, "cycle_type", "V"))
     nnz = 0
     bytes_ = 0
     for i, (nx, ny, nz) in enumerate(dims):
         interior = nx * ny * nz
         dense = (nx + 2) * (ny + 2) * (nz + 2)
-        sweeps = pre + post
-        residuals = (1 + (1 if i == 0 else 0)) if i < nlev - 1 else 0
+        sweeps = (pre + post) * visits[i]
+        # one residual+restrict per non-coarsest visit, plus the
+        # once-per-cycle convergence-check residual at the finest level
+        residuals = (visits[i] + (1 if i == 0 else 0)) if i < nlev - 1 else 0
         nnz += (sweeps + residuals) * 7 * interior
         bytes_ += (sweeps + residuals) * 3 * dense * itemsize
         if i < nlev - 1:
             cx, cy, cz = dims[i + 1]
             cdense = (cx + 2) * (cy + 2) * (cz + 2)
-            # restrict r->f, zero coarse v
-            bytes_ += (dense + cdense) * itemsize + cdense * itemsize
-            # fused prolongate+correct: read coarse v, read v, write v
-            bytes_ += (cdense + 2 * dense) * itemsize
+            # per visit: restrict r->f + zero coarse v, then fused
+            # prolongate+correct (read coarse v, read v, write v)
+            bytes_ += visits[i] * (
+                (dense + cdense) * itemsize + cdense * itemsize
+                + (cdense + 2 * dense) * itemsize
+            )
     return nnz, bytes_
 
 

@@ -63,9 +63,10 @@ def main() -> None:
                     default="ppermute",
                     help="x-face slab exchange: XLA ppermute collectives or "
                     "in-kernel remote DMAs (ops/pallas_spmd.rdma_exchange)")
-    ap.add_argument("--fuse", choices=["leg", "pod"], default="leg",
-                    help="per-leg kernels or the pod-scale fused engine "
-                    "(dist/pod.py; x-split meshes)")
+    ap.add_argument("--fuse", choices=["auto", "leg", "pod"], default="auto",
+                    help="pod-scale fused engine, per-leg kernels, or auto "
+                    "(CLI semantics: pod wherever its gates allow — the "
+                    "fast engine is the default the harness benchmarks)")
     args = ap.parse_args()
 
     mesh_shape = tuple(int(s) for s in args.mesh.split(","))
@@ -107,6 +108,28 @@ def main() -> None:
         print_progress=False,
         cycle_type=args.cycle,
     )
+
+    # Resolve --fuse auto with the CLI's semantics (cli.py:343-375): the
+    # pod engine wherever its gates allow; rdma halo and sub-capacity
+    # interpret hosts pin the per-leg engine.
+    if args.fuse == "auto":
+        from gpusolve_tpu.dist.pod import choose_npod
+        from gpusolve_tpu.dist.spmd import interpret_sync_capacity
+
+        pod_why = None
+        if args.halo != "ppermute":
+            pod_why = f"--halo {args.halo} is a per-leg engine feature"
+        elif (jax.default_backend() not in ("tpu", "axon")
+                and n_chips > interpret_sync_capacity()):
+            pod_why = (f"{n_chips} simulated devices exceed interpret "
+                       f"sync capacity ({interpret_sync_capacity()})")
+        else:
+            folded = (mesh_shape[0], mesh_shape[1] * mesh_shape[2])
+            if choose_npod(params, folded) is None:
+                pod_why = "geometry/mode outside the pod gates"
+        args.fuse = "leg" if pod_why else "pod"
+        print(f"fuse=auto -> {args.fuse}"
+              + (f" ({pod_why})" if pod_why else ""), file=sys.stderr)
 
     devices = jax.devices()
     if len(devices) < n_chips:
@@ -158,7 +181,7 @@ def main() -> None:
         "per_cycle_ms": round(per_cycle * 1e3, 2),
         "total_gnnz_per_s": round(nnz / per_cycle / 1e9, 3),
         "mode": Mode(args.mode).name,
-        "cycle": args.cycle,  # nnz model counts V-visits; W/F do more
+        "cycle": args.cycle,  # nnz model scales with W/F level visits
         "cycles": args.cycles,
         "check_every": ck,
         "final_residual": history[-1] if history else None,

@@ -80,9 +80,12 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--check-every", type=int, default=1, metavar="K",
-        help="batch K V-cycles per device launch (wavefront kernel only): "
-        "the in-kernel stop test preserves the residual history and final "
-        "state while amortising per-launch overhead on small grids",
+        help="batch K V-cycles per device launch (wavefront kernel: the "
+        "in-kernel stop test preserves the residual history and final "
+        "state; spmd engines: the stop test runs between batches, up to "
+        "K-1 cycles past tol).  NEWTON mode batches K outer Newton steps "
+        "per dispatch on the mega-kernel path, and K inner cycles per "
+        "dispatch on the spmd engines",
     )
     ap.add_argument(
         "--cycle", choices=["V", "W", "F"], default="V",
@@ -123,6 +126,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--explain-backend", action="store_true",
         help="print (stderr) which engine and kernel path this "
         "configuration actually runs — per-level for distributed solves",
+    )
+    ap.add_argument(
+        "--platform", default=None, metavar="P",
+        help="force the JAX platform (e.g. 'cpu'). Needed on rigs where "
+        "a device plugin overrides the JAX_PLATFORMS env var (the axon "
+        "TPU tunnel does): '--platform cpu' runs host-side regardless "
+        "(the CLI mirror of __graft_entry__._force_cpu_if_virtual)",
     )
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -249,6 +259,16 @@ def main(argv=None) -> int:
         return 1
 
     native = args.backend == "cpu-native"
+    if args.platform:
+        # Must land before any jax backend initialisation; the config knob
+        # (unlike JAX_PLATFORMS) wins even over plugin platform overrides.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:
+            print(f"--platform {args.platform}: {e}", file=sys.stderr)
+            return 1
     if args.refine:
         incompat = [
             ("--dtype float64", args.dtype == "float64"),
@@ -543,6 +563,7 @@ def main(argv=None) -> int:
                             halo=args.halo, fuse=args.fuse,
                             state=sp_state, newton_f=newton_f0,
                             initial_residual=initial_residual,
+                            check_every=args.check_every,
                         )
                         newton_f0 = plan.newton_f
                         solution_np = gather_solution(
@@ -616,6 +637,7 @@ def main(argv=None) -> int:
                 state, history = newton_solve(
                     state, params, shardings=shardings,
                     initial_residual=initial_residual,
+                    check_every=args.check_every,
                 )
                 solution = state.levels[0].newton_v
             else:

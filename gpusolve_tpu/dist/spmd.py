@@ -76,7 +76,13 @@ def interpret_sync_capacity() -> int:
     cap = os.environ.get("GPUSOLVE_INTERPRET_SYNC_CAPACITY")
     if cap:
         return int(cap)
-    return os.cpu_count() or 1
+    # sched_getaffinity reflects cgroup quotas / CPU pinning — the number
+    # of threads that can actually run concurrently — where cpu_count()
+    # reports physical CPUs and can overestimate on containers.
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
 
 
 def gate_interpret_sync(n_devices: int, what: str) -> None:
@@ -88,7 +94,7 @@ def gate_interpret_sync(n_devices: int, what: str) -> None:
             f"{what} uses in-kernel remote DMAs: interpret mode must run "
             f"all {n_devices} simulated devices concurrently, but this "
             f"host's XLA CPU thread pool supports only {cap} "
-            f"(os.cpu_count()).  Running it would deadlock, not just be "
+            f"(effective CPU count).  Running it would deadlock, not just be "
             f"slow.  Use a mesh with <= {cap} devices, the ppermute-halo "
             f"leg engine (fuse='leg', halo='ppermute' — XLA collectives "
             f"don't hold pool threads), or set "
@@ -1748,6 +1754,7 @@ def newton_solve_spmd(
     newton_f=None,
     initial_residual: Optional[float] = None,
     timer=None,
+    check_every: int = 1,
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -1760,7 +1767,17 @@ def newton_solve_spmd(
     each step) is stashed on the plan as ``plan.newton_f``.
 
     ``state``/``newton_f``/``initial_residual``: checkpoint resume — the
-    stop threshold keeps the original run's initial residual."""
+    stop threshold keeps the original run's initial residual.
+
+    ``check_every=k`` batches the INNER solve's cycles k per dispatch
+    (solve_spmd semantics: the inner stop test runs between batches, so an
+    inner solve may run up to k-1 cycles past its tol — parity mode is
+    k=1).  Independent of k, each outer step costs two dispatches + one
+    scalar fetch: the convergence comp_f doubles as the next step's RHS
+    build (the state is unchanged in between — same F, same norm), and its
+    norm seeds the inner solve's initial residual (the inner system starts
+    at e=0, so r0 = ‖F‖; the single-device driver does the same,
+    solver/newton.py find_error)."""
     import time as _time
 
     from gpusolve_tpu.utils.timer import Timer as _Timer
@@ -1804,26 +1821,32 @@ def newton_solve_spmd(
         history = [initial]
         if params.print_progress:
             print(f"Inital newton residual: {initial:.6g}")
+        fn = initial
     else:
         initial = float(initial_residual)
         history = []
+        # Resume entry: level-0 f is stale — build F (reference :21).
+        fn = comp_f()
 
     inner = params.replace(maxiter=10, tol=0.1, print_progress=False)
     for i in range(params.maxiter):
         t0 = _time.perf_counter()
-        comp_f()
+        # F is already in state[1] from the preceding comp_f and ``fn``
+        # is its norm (the reference re-invokes compF here on unchanged
+        # state, src/cpu/NewtonSolver.cpp:21 — identical result).
         # zero v on every level (reference :22)
         for l in range(nlev):
             state[n_arr * l] = jnp.zeros_like(state[n_arr * l])
         set_nvs(list(restrict_nv_fn(*nv_list())))
         st, _, _ = solve_spmd(
             inner, mesh, cutoff, state=tuple(state), plan=plan,
-            initial_residual=None, local_backend=local_backend,
-            halo=halo, fuse=fuse,
+            initial_residual=fn, local_backend=local_backend,
+            halo=halo, fuse=fuse, check_every=check_every,
         )
         state = list(st)
         state[2] = update_nv_fn(state[2], state[0])
         res = comp_f()
+        fn = res
         history.append(res)
         if params.print_progress:
             ms = int((_time.perf_counter() - t0) * 1000)

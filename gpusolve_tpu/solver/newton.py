@@ -136,12 +136,148 @@ def find_error(
     return _update_newton_v(state, params=tp)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "k", "interpret"),
+    donate_argnums=(0,),
+)
+def _newton_batch(
+    state: GridState, fn0, thr_outer, nsteps,
+    params: GridParams, k: int, interpret: bool,
+):
+    """Up to ``k`` outer Newton steps in ONE device dispatch.
+
+    Entry contract: level-0 ``f`` already holds F(ũ) (the preceding comp_f)
+    and ``fn0`` is its norm.  Each step = restrict ũ / zero v
+    (_prepare_find_error), inner 10-cycle tol-0.1 NEWTON multigrid as one
+    wavefront mega-kernel batch (the in-kernel early stop reproduces the
+    reference's per-cycle inner check, src/cpu/NewtonSolver.cpp:94-104),
+    ũ += v, then comp_f for the next step's RHS + the outer residual.
+
+    Steps after convergence (or past ``nsteps``) are skipped via lax.cond —
+    the state is frozen exactly where the unbatched loop would stop, and
+    their residual slots return -1 (the mega-kernel batch sentinel).
+    ``thr_outer`` carries the 2-ulp up-bias of _solve_fused2 so the device
+    gate stops whenever the host criterion would; the host re-checks every
+    returned norm, so batching changes dispatch count, not results.
+    """
+    from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+
+    mode = params.mode
+    f32 = jnp.float32
+    ten = jnp.full((1, 1), 10, jnp.int32)
+
+    def one_step(state, fn):
+        state = _prepare_find_error(state, params=params)
+        # Inner threshold: (||F||·tol_inner)² with the same 2-ulp up-bias
+        # _solve_fused2 applies host-side (stop whenever the host would).
+        t = (fn.astype(f32) * f32(0.1)) ** 2
+        t = jnp.nextafter(jnp.nextafter(t, f32(jnp.inf)), f32(jnp.inf))
+        outs = pv2.batch_call(
+            vc._pack_levels(state, mode), params, 10, ten,
+            t.reshape(1, 1), interpret=interpret,
+        )
+        state = vc._unpack_levels(state, outs[:-1], mode)
+        state = _update_newton_v(state, params=params)
+        return comp_f(state, params=params)
+
+    def skip(state, fn):
+        return state, jnp.asarray(-1.0, fn0.dtype)
+
+    done = jnp.bool_(False)
+    fn = fn0
+    ress = []
+    for s in range(k):
+        done = done | (jnp.int32(s) >= nsteps)
+        state, res = jax.lax.cond(done, skip, one_step, state, fn)
+        ress.append(res)
+        done = done | ((res >= 0) & (res <= thr_outer))
+        fn = res
+    return state, jnp.stack(ress)
+
+
+def _newton_solve_batched(
+    state: GridState,
+    params: GridParams,
+    tp: GridParams,
+    timer: Optional[Timer],
+    initial: float,
+    history: List[float],
+    fn: Optional[float],
+    k: int,
+) -> Tuple[GridState, List[float]]:
+    """Outer Newton loop with ``check_every``-batched steps: one dispatch +
+    one scalar fetch per batch instead of (2 comp_f fetches + an inner-solve
+    fetch) per step.  Residual history and final state match the unbatched
+    loop (see _newton_batch)."""
+    import numpy as np
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    thr_np = np.float32(initial / (1.0 / params.tol))
+    thr_np = np.nextafter(
+        np.nextafter(thr_np, np.float32(np.inf), dtype=np.float32),
+        np.float32(np.inf), dtype=np.float32,
+    )
+    if fn is None:
+        # Checkpoint-resume entry: level-0 f is stale — run the comp_f the
+        # unbatched loop would (reference :21).
+        state, fnj = comp_f(state, params=tp)
+        fn = float(fnj)
+
+    fnkey = ("newton_batch", tp, k, interpret, vc._state_key(state))
+    fn_c = vc._compiled_cycles.get(fnkey)
+    if fn_c is None:
+        t0 = time.perf_counter()
+        fn_c = _newton_batch.lower(
+            state, jnp.float32(0), jnp.float32(0), jnp.int32(0),
+            params=tp, k=k, interpret=interpret,
+        ).compile()
+        if timer is not None:
+            timer.add("compile", time.perf_counter() - t0)
+        vc._compiled_cycles[fnkey] = fn_c
+
+    i = 0
+    done = False
+    while i < params.maxiter and not done:
+        m = min(k, params.maxiter - i)
+        t0 = time.perf_counter()
+        state, ress = fn_c(
+            state, np.float32(fn), thr_np, np.int32(m)
+        )
+        if timer is not None:
+            with timer.section("sumBuffer"):
+                arr = np.asarray(ress)
+        else:
+            arr = np.asarray(ress)
+        batch_ms = (time.perf_counter() - t0) * 1000.0
+        executed = [float(x) for x in arr if x >= 0.0]
+        if not executed:  # defensive: batch must run >= 1 step
+            break
+        per_ms = int(batch_ms / len(executed))
+        for res in executed:
+            history.append(res)
+            if params.print_progress:
+                line = (
+                    f"newton iter: {i} residual: {res:.6g} Took {per_ms}ms"
+                )
+                if timer is not None:
+                    line += timer.suffix()
+                print(line)
+            i += 1
+            fn = res
+            if res <= initial / (1.0 / params.tol):
+                done = True
+                break
+    return state, history
+
+
 def newton_solve(
     state: GridState,
     params: GridParams,
     shardings: Optional[Tuple] = None,
     timer: Optional[Timer] = None,
     initial_residual: Optional[float] = None,
+    check_every: int = 1,
 ) -> Tuple[GridState, List[float]]:
     """Outer Newton loop (reference: src/cpu/NewtonSolver.cpp:10-44).
 
@@ -152,6 +288,12 @@ def newton_solve(
     threshold uses the original run's initial residual (see
     gpusolve_tpu.solver.vcycle.solve) and the returned history omits the
     leading entry.
+
+    ``check_every=k`` batches up to k outer Newton steps (comp_f + inner
+    solve + update) into ONE device dispatch wherever the wavefront
+    mega-kernel is eligible — the in-dispatch convergence gate freezes the
+    state exactly where the per-step loop would stop, so history and final
+    state are unchanged (see _newton_batch).
     """
     assert params.mode == Mode.NEWTON
     assert state.newton_f is not None, "build_grid must run in NEWTON mode"
@@ -159,15 +301,23 @@ def newton_solve(
         timer = Timer()
     tp = vc.trace_params(params, shardings)
 
+    fn0 = None
     if initial_residual is None:
-        state, initial = comp_f(state, params=tp)
-        initial = float(initial)
+        state, initial_j = comp_f(state, params=tp)
+        initial = float(initial_j)
         if params.print_progress:
             print(f"Inital newton residual: {initial:.6g}")
         history = [initial]
+        fn0 = initial  # F is in level-0 f; its norm seeds the first step
     else:
         initial = float(initial_residual)
         history = []
+
+    if check_every > 1 and vc.use_fused2(params, shardings):
+        return _newton_solve_batched(
+            state, params, tp, timer, initial, history, fn0,
+            max(1, min(check_every, params.maxiter)),
+        )
 
     for i in range(params.maxiter):
         t0 = time.perf_counter()

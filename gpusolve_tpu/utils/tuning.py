@@ -40,9 +40,12 @@ class DeviceTuning:
     # ops/pallas_spmd: shard-local kernel budgets.
     spmd_vmem_budget: int = 100 * _MB
     spmd_vmem_limit: int = 120 * _MB
-    # ops/pallas_kernels (per-op slab kernels) / pallas_vcycle (v1).
+    # ops/pallas_kernels (per-op slab kernels): slab-sizing budget and the
+    # Mosaic scoped-VMEM ceiling (compiler temporaries included).
     kernels_vmem_budget: int = 11 * _MB
-    v1_vmem_budget: int = 80 * _MB
+    kernels_vmem_limit: int = 64 * _MB
+    # ops/pallas_vcycle (v1 mega-kernel): Mosaic scoped-VMEM ceiling.
+    v1_vmem_budget: int = 110 * _MB
     # csrc temporal-blocked smoother strip budget (KB).
     cpu_strip_kb: int = 32
     # Public peak HBM bandwidth (GB/s) — reporting / roofline.
@@ -86,6 +89,12 @@ def for_kind(kind: str) -> DeviceTuning:
     return _DEFAULT
 
 
+def known_kind(kind: str) -> bool:
+    """True when ``kind`` has a curated table row (vs the default seed)."""
+    k = (kind or "").lower()
+    return any(sub in k for sub in (s for s, _ in _TABLE))
+
+
 def current() -> DeviceTuning:
     """The running device's tuning (cached after first resolution)."""
     global _cached, _cached_kind
@@ -93,6 +102,27 @@ def current() -> DeviceTuning:
         _cached_kind = device_kind()
         _cached = for_kind(_cached_kind)
     return _cached
+
+
+def resolved_recompute_from_level() -> Optional[int]:
+    """The wavefront kernel's traffic-minimal-schedule switch, with
+    measured evidence for parts the table doesn't know.
+
+    Curated rows answer directly (every current TPU keeps the default
+    None: the kernel is VPU-bound at a ~658 GB/s ceiling, PERF.md §3/§6,
+    so recompute's bytes-for-vector-work trade always loses).  For an
+    UNKNOWN device kind the decision consults ``probe_ceiling_gbps`` —
+    the one-shot measured streaming ceiling: below ~250 GB/s streaming is
+    the scarce resource and the recompute schedule (bit-identical, pinned
+    by tests) pays from the first mid level.  No probe result (CPU rigs,
+    probe failure) keeps the conservative write-back default."""
+    kind = device_kind()
+    if known_kind(kind):
+        return for_kind(kind).recompute_from_level
+    ceiling = probe_ceiling_gbps()
+    if ceiling is not None and ceiling < 250.0:
+        return 1
+    return _DEFAULT.recompute_from_level
 
 
 def _cache_path() -> str:

@@ -115,6 +115,23 @@ def test_pod_wf_matches_leg_engine(cycle, mode, gamma):
     )
 
 
+def test_pod_newton_wcycle_matches_leg_engine():
+    """NEWTON's inner solves inherit cycle_type: a W-cycle exercises the
+    has_nv suffix-chain path (nvs_c slicing, re-descent aux handling) of
+    dist/pod._linearize that LINEAR/NONLINEAR W/F never touch — pin it
+    against the per-leg engine (ADVICE r4)."""
+    params = _params(Mode.NEWTON, 1.0, maxiter=2).replace(cycle_type="W")
+    mesh = make_mesh((2, 1, 1))
+    _, hist_leg, _ = newton_solve_spmd(
+        params, mesh, cutoff=2, local_backend="pallas"
+    )
+    _, hist_pod, _ = newton_solve_spmd(params, mesh, cutoff=2, fuse="pod")
+    hl = np.asarray(hist_leg)
+    np.testing.assert_allclose(
+        np.asarray(hist_pod), hl, rtol=2e-3, atol=1e-6 * hl[0]
+    )
+
+
 def test_pod_multi_level_chain_engages():
     """At (4,1,1) on 63^3 the npod choice must cover >= 2 fused levels so
     the chained mid-level exchange (coarse outputs feeding the next leg

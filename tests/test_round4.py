@@ -92,20 +92,13 @@ def test_explicit_fuse_pod_with_wcycle_runs(tmp_path):
     assert len(PROGRESS_RE.findall(r.stdout)) == 2, r.stdout
 
 
-def test_fuse_auto_respects_interpret_capacity(tmp_path):
+def test_fuse_auto_respects_interpret_capacity(tmp_path, monkeypatch):
     """A host that cannot simulate the mesh's device count concurrently
     (in-kernel RDMA thread-starvation deadlock) must fall back to the
     per-leg engine, not hang."""
     conf = write_conf(tmp_path, mode=0)
-    env_cap = os.environ.get("GPUSOLVE_INTERPRET_SYNC_CAPACITY")
-    os.environ["GPUSOLVE_INTERPRET_SYNC_CAPACITY"] = "1"
-    try:
-        r = run_cli([conf, "--mesh", "2,1,1", "--explain-backend"])
-    finally:
-        if env_cap is None:
-            os.environ.pop("GPUSOLVE_INTERPRET_SYNC_CAPACITY", None)
-        else:
-            os.environ["GPUSOLVE_INTERPRET_SYNC_CAPACITY"] = env_cap
+    monkeypatch.setenv("GPUSOLVE_INTERPRET_SYNC_CAPACITY", "1")
+    r = run_cli([conf, "--mesh", "2,1,1", "--explain-backend"])
     assert r.returncode == 0, r.stderr
     assert "fuse=auto -> leg" in r.stderr, r.stderr
     assert "sync capacity" in r.stderr, r.stderr
