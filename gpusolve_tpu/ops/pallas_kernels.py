@@ -52,6 +52,24 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 # _prepare_find_error restrict allocated 20.9 MB and OOMed at compile.
 # v5e has 128 MB of VMEM; 64 MB leaves headroom for either side.
 _VMEM_LIMIT = 64 * 1024 * 1024
+# Both resolve per device kind (utils/tuning) on first kernel build;
+# explicit module-level reassignment (tests) overrides.
+_TUNING_DEFAULTS = (_VMEM_BUDGET, _VMEM_LIMIT)
+_TUNING_APPLIED = False
+
+
+def _apply_tuning() -> None:
+    global _VMEM_BUDGET, _VMEM_LIMIT, _TUNING_APPLIED
+    if _TUNING_APPLIED:
+        return
+    _TUNING_APPLIED = True
+    if (_VMEM_BUDGET, _VMEM_LIMIT) != _TUNING_DEFAULTS:
+        return  # externally overridden — respect it
+    from gpusolve_tpu.utils import tuning
+
+    t = tuning.current()
+    _VMEM_BUDGET = t.kernels_vmem_budget
+    _VMEM_LIMIT = t.kernels_vmem_limit
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -225,6 +243,7 @@ def jacobi_sweep(
     """One fused damped-Jacobi sweep (reference math:
     src/cpu/CpuSolver.cpp:141-179); the result is written into ``dead``
     (aliased), whose halo must already be zero."""
+    _apply_tuning()
     call = _jacobi_call(
         v.shape, dims, v.dtype.name, _compile_key(params), h, interpret
     )
@@ -405,6 +424,7 @@ def apply_stencil_fas(
     f stream removed and the sign kept positive.  Aliased into ``dead``."""
     nl = params if params.mode == Mode.NONLINEAR else None
     assert nl is not None, "apply_stencil_fas is a NONLINEAR-mode op"
+    _apply_tuning()
     call = _residual_call(
         v.shape, dims, v.dtype.name, _compile_key(params), h,
         False, interpret, True,
@@ -426,6 +446,7 @@ def residual(
 ):
     """Residual r = f − (A·v/h² + mode term) and Σr² (reference:
     src/cpu/CpuSolver.cpp:45-83).  r is written into ``dead_r`` (aliased)."""
+    _apply_tuning()
     call = _residual_call(
         v.shape, dims, v.dtype.name, _compile_key(params), h, with_norm,
         interpret,
@@ -547,6 +568,7 @@ def restrict_full_weighting(
 ):
     """27-point full-weighting restriction (reference:
     src/cpu/CpuSolver.cpp:211-238); result aliased into ``dead_coarse``."""
+    _apply_tuning()
     call = _restrict_call(
         fine.shape,
         dead_coarse.shape,
@@ -655,6 +677,7 @@ def _prolong_call(
 def prolong_add(dead, coarse_v, v_fine, fine_dims, interpret: bool = False):
     """v_fine + trilinear(coarse_v) (reference interpolate + `v += e`,
     src/cpu/CpuSolver.cpp:240-290 and :130-132), aliased into ``dead``."""
+    _apply_tuning()
     call = _prolong_call(
         coarse_v.shape,
         v_fine.shape,

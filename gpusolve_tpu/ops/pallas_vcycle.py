@@ -45,6 +45,26 @@ from gpusolve_tpu.grid import alloc_shape
 
 # VMEM budget for the slab buffers (bytes); the rest is headroom for Mosaic.
 _VMEM_BUDGET = 80 * 1024 * 1024
+# Mosaic scoped-VMEM ceiling for the whole-cycle kernel.
+_VMEM_LIMIT = 110 * 1024 * 1024
+# Both resolve per device kind (utils/tuning) on first use; explicit
+# module-level reassignment overrides.
+_TUNING_DEFAULTS = (_VMEM_BUDGET, _VMEM_LIMIT)
+_TUNING_APPLIED = False
+
+
+def _apply_tuning() -> None:
+    global _VMEM_BUDGET, _VMEM_LIMIT, _TUNING_APPLIED
+    if _TUNING_APPLIED:
+        return
+    _TUNING_APPLIED = True
+    if (_VMEM_BUDGET, _VMEM_LIMIT) != _TUNING_DEFAULTS:
+        return  # externally overridden — respect it
+    from gpusolve_tpu.utils import tuning
+
+    t = tuning.current()
+    _VMEM_BUDGET = t.v1_vmem_budget
+    _VMEM_LIMIT = t.v1_vmem_limit
 
 
 def _cdiv(a, b):
@@ -619,7 +639,7 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
         scratch_shapes=scratch,
         input_output_aliases={i: i for i in range(n_in)},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )
@@ -672,6 +692,7 @@ def vcycle_fused(state_levels, params: GridParams, interpret: bool = False):
     )
     dims_key = params.level_dims()
     dtype_name = state_levels[0].v.dtype.name
+    _apply_tuning()
     call, final_locs = _vcycle_call(key, dims_key, dtype_name, interpret)
 
     has_nv = params.mode == Mode.NEWTON

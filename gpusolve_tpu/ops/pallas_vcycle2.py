@@ -71,7 +71,9 @@ def _apply_tuning() -> None:
 
     t = tuning.current()
     _VMEM_LIMIT = t.vmem_limit
-    _RECOMPUTE_FROM_LEVEL = t.recompute_from_level
+    # Curated parts answer from the table; unknown parts consult the
+    # measured streaming ceiling (tuning.probe_ceiling_gbps).
+    _RECOMPUTE_FROM_LEVEL = tuning.resolved_recompute_from_level()
 _TX = 8          # stream slab granularity (sublane tile) — planes per DMA
 _TINY_AX = 16    # levels with alloc x-extent <= this run fully VMEM-resident
 

@@ -44,8 +44,9 @@ class DeviceTuning:
     # Mosaic scoped-VMEM ceiling (compiler temporaries included).
     kernels_vmem_budget: int = 11 * _MB
     kernels_vmem_limit: int = 64 * _MB
-    # ops/pallas_vcycle (v1 mega-kernel): Mosaic scoped-VMEM ceiling.
-    v1_vmem_budget: int = 110 * _MB
+    # ops/pallas_vcycle (v1 mega-kernel): slab budget + Mosaic ceiling.
+    v1_vmem_budget: int = 80 * _MB
+    v1_vmem_limit: int = 110 * _MB
     # csrc temporal-blocked smoother strip budget (KB).
     cpu_strip_kb: int = 32
     # Public peak HBM bandwidth (GB/s) — reporting / roofline.

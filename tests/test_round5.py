@@ -171,3 +171,27 @@ def test_cost_model_scales_with_cycle_type():
     # Finest-level work is identical (visited once per cycle in all
     # schedules), so the ratio stays well under the naive 2^l blowup.
     assert nnz_w < 3 * nnz_v
+
+
+def test_gspmd_prints_demotion_note(tmp_path):
+    """VERDICT r4 item 4: no slow engine without a sign — explicit
+    --dist-engine gspmd must announce it is the debugging path."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    conf = write_conf(tmp_path, mode=0, dim=15)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; from gpusolve_tpu.cli import main; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, conf, "--mesh", "2,1,1",
+         "--dist-engine", "gspmd"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "debugging/fallback" in r.stderr, r.stderr

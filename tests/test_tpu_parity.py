@@ -28,10 +28,20 @@ def test_tpu_parity_artifact_green():
     assert data["platform"] != "cpu", "artifact must come from real TPU"
     bad = [
         f"{r['size']}^3 mode={r['mode']} {r['engine']}"
-        f" rel={r.get('max_rel_err')}"
+        f" margin={r.get('margin', r.get('max_rel_err'))}"
         for r in data["results"] if not r.get("ok")
     ]
     assert data["all_ok"] and not bad, bad
     # The artifact must cover every engine in at least one config.
     engines = {r["engine"] for r in data["results"] if "history" in r}
     assert {"xla", "mega", "spmd-leg", "spmd-rdma", "pod"} <= engines
+    # Round-5 schema: per-row measured tolerance envelope + a normalized
+    # margin (VERDICT r4 weak #4: thin, misnamed max_rel_err retired).
+    if any("margin" in r for r in data["results"]):
+        ran = [r for r in data["results"] if "history" in r]
+        assert all("rtol" in r and "atol" in r for r in ran)
+        # The pod y-split config must be present (green or explicitly
+        # hardware-skipped with the device-count reason), and a >=255^3
+        # row must exist.
+        assert any(r["engine"] == "pod-y" for r in data["results"])
+        assert any(r["size"] >= 255 for r in ran)
