@@ -135,6 +135,71 @@ def _mk(op_name, n_iter):
                 c = dot3(t, wy_r, transpose=True)
                 t2 = dot3(c, pz)
                 return dot3(t2, py, transpose=True)
+            if op_name in ("pr_mmc3", "pr_mmc2"):
+                # Round-5 retry of the bf16-split idea: CONCATENATED
+                # split — ONE dot call per product with k× the
+                # contraction length ([hi;mid;lo] @ [w;w;w]).  Same MXU
+                # pass count as pr_mm3 but one call's fixed overhead
+                # (round-4's pr_mm3 rejection measured the 3 separate
+                # dot CALLS, not the passes).  bf16x3 carries all 24
+                # f32 mantissa bits (each bf16×bf16 product is exact in
+                # f32), so precision matches HIGHEST's class.
+                kparts = 3 if op_name == "pr_mmc3" else 2
+                wz_r = _restrict_mat(ZL, ZL // 2)
+                wy_r = _restrict_mat(YL, YL // 2)
+                pz = _prolong_mat(ZL // 2, ZL)
+                py = _prolong_mat(YL // 2, YL)
+
+                def split(a):
+                    parts = []
+                    rem = a
+                    for _ in range(kparts):
+                        p_ = rem.astype(jnp.bfloat16)
+                        parts.append(p_)
+                        rem = rem - p_.astype(jnp.float32)
+                    return parts
+
+                def dotc(a, w, transpose=False):
+                    parts = split(a)
+                    wb = w.astype(jnp.bfloat16)
+                    if transpose:
+                        aa = jnp.concatenate(parts, axis=0)
+                        ww = jnp.concatenate([wb] * kparts, axis=0)
+                        return jnp.dot(
+                            ww.T, aa,
+                            preferred_element_type=jnp.float32,
+                        )
+                    aa = jnp.concatenate(parts, axis=1)
+                    ww = jnp.concatenate([wb] * kparts, axis=0)
+                    return jnp.dot(
+                        aa, ww, preferred_element_type=jnp.float32
+                    )
+
+                t = dotc(x, wz_r)
+                c = dotc(t, wy_r, transpose=True)
+                t2 = dotc(c, pz)
+                return dotc(t2, py, transpose=True)
+            if op_name == "pr_mm1":
+                # floor: plain 1-pass bf16 dots (precision-losing — only
+                # a cost bound, not a candidate)
+                wz_r = _restrict_mat(ZL, ZL // 2).astype(jnp.bfloat16)
+                wy_r = _restrict_mat(YL, YL // 2).astype(jnp.bfloat16)
+                pz = _prolong_mat(ZL // 2, ZL).astype(jnp.bfloat16)
+                py = _prolong_mat(YL // 2, YL).astype(jnp.bfloat16)
+                xb = x.astype(jnp.bfloat16)
+                t = jnp.dot(xb, wz_r, preferred_element_type=jnp.float32)
+                c = jnp.dot(
+                    wy_r.T, t.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                t2 = jnp.dot(
+                    c.astype(jnp.bfloat16), pz,
+                    preferred_element_type=jnp.float32,
+                )
+                return jnp.dot(
+                    py.T, t2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
             if op_name == "pr_jr":
                 # restrict on the MXU, prolong via jnp.repeat + roll (VPU):
                 # fine = 0.5*(rep + roll(rep, -1)) where rep elementwise-
@@ -161,6 +226,97 @@ def _mk(op_name, n_iter):
                 oy = 0.5 * (fz + pltpu.roll(fz, (YL // 2) - 1, 0))
                 fy = jnp.stack([fz, oy], axis=1).reshape(YL, ZL)
                 return fy
+            if op_name == "stage_zdot":
+                # round-5 probe: the z±1 taps (lane-axis rolls — measured
+                # 4x a sublane roll) via ONE bit-exact HIGHEST dot with a
+                # two-unit-diagonal matrix, freeing VPU lanes and
+                # overlapping the MXU with the y-roll work.  The dot's
+                # per-output sum has exactly two unit products, so it
+                # reproduces the f32 add exactly.
+                zi1 = jax.lax.broadcasted_iota(jnp.int32, (ZL, ZL), 0)
+                zi2 = jax.lax.broadcasted_iota(jnp.int32, (ZL, ZL), 1)
+                tz = ((zi1 == zi2 + 1) | (zi1 == zi2 - 1)).astype(
+                    jnp.float32
+                )
+                zsum = jnp.dot(
+                    x, tz, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                g = (
+                    y + y
+                    + pltpu.roll(x, 1, 0) + pltpu.roll(x, YL - 1, 0)
+                    + zsum
+                )
+                rr = y + (-6.2) * x
+                rr = rr + 1.04 * g
+                val = x + 0.31 * rr
+                return jnp.where(mask, val, zero)
+            if op_name == "stage_nosel":
+                # round-5 probe: the keep-mask select folded into the
+                # Jacobi FMA's multiplier plane (bit-identical: halo
+                # lanes get center + 0·rr = center = 0)
+                g = (
+                    y + y
+                    + pltpu.roll(x, 1, 0) + pltpu.roll(x, YL - 1, 0)
+                    + pltpu.roll(x, 1, 1) + pltpu.roll(x, ZL - 1, 1)
+                )
+                rr = y + (-6.2) * x
+                rr = rr + 1.04 * g
+                return x + maskf * rr
+            if op_name == "stage_zdot_nosel":
+                zi1 = jax.lax.broadcasted_iota(jnp.int32, (ZL, ZL), 0)
+                zi2 = jax.lax.broadcasted_iota(jnp.int32, (ZL, ZL), 1)
+                tz = ((zi1 == zi2 + 1) | (zi1 == zi2 - 1)).astype(
+                    jnp.float32
+                )
+                zsum = jnp.dot(
+                    x, tz, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                g = (
+                    y + y
+                    + pltpu.roll(x, 1, 0) + pltpu.roll(x, YL - 1, 0)
+                    + zsum
+                )
+                rr = y + (-6.2) * x
+                rr = rr + 1.04 * g
+                return x + maskf * rr
+            if op_name == "stage2_fused":
+                # round-5 probe, VERDICT lever (b): TWO damped-Jacobi
+                # sweeps fused algebraically into one wider-stencil
+                # update (v2 = B²v0 + (I+B)c·f, B = I − (ω/d)A).  The
+                # 7-pt star squared has 25 taps; the per-plane form needs
+                # 8 lane-axis (z) rolls — own z±1/z±2 plus z±1 on each
+                # x-neighbour plane — vs 4 for two chained sweeps.
+                # Compare ns/op here against 2× the ``stage`` figure.
+                ypm = pltpu.roll(x, 1, 0) + pltpu.roll(x, YL - 1, 0)
+                y2pm = pltpu.roll(x, 2, 0) + pltpu.roll(x, YL - 2, 0)
+                zp = pltpu.roll(x, 1, 1)
+                zm = pltpu.roll(x, ZL - 1, 1)
+                z2pm = pltpu.roll(x, 2, 1) + pltpu.roll(x, ZL - 2, 1)
+                cross = (
+                    pltpu.roll(zp, 1, 0) + pltpu.roll(zp, YL - 1, 0)
+                    + pltpu.roll(zm, 1, 0) + pltpu.roll(zm, YL - 1, 0)
+                )
+                # x±1 neighbour planes (y stands in): their y±1/z±1 taps
+                xn = (
+                    2.0 * y
+                    + pltpu.roll(y, 1, 0) + pltpu.roll(y, YL - 1, 0)
+                    + pltpu.roll(y, 1, 1) + pltpu.roll(y, ZL - 1, 1)
+                )
+                # x±2 planes (y stands in again — cost-identical)
+                acc = (
+                    0.41 * x + 0.11 * (ypm + zp + zm)
+                    + 0.07 * (y2pm + z2pm + cross)
+                    + 0.09 * xn + 0.05 * y
+                )
+                # (I+B)c f contribution: f := y stand-in, 7-pt apply + ax
+                fb = (
+                    1.3 * y
+                    + 0.3 * (pltpu.roll(y, 1, 0) + pltpu.roll(y, YL - 1, 0))
+                )
+                val = acc + fb
+                return jnp.where(mask, val, zero)
             if op_name == "stage":
                 # one LINEAR plane-stage: x as the centre plane, y as both
                 # x-neighbours and f (costs identical, values irrelevant)
@@ -197,7 +353,9 @@ def main():
     y = jax.random.uniform(jax.random.PRNGKey(1), (YL, ZL), jnp.float32,
                            0.1, 0.9)
     ops = ["add", "fma_s", "fma_v", "roll_y", "roll_z", "select", "exp",
-           "stage", "pr_mm", "pr_mm3", "pr_jr", "pr_sl"]
+           "stage", "stage2_fused", "stage_zdot", "stage_nosel", "stage_zdot_nosel",
+           "pr_mm", "pr_mm3", "pr_mmc3", "pr_mmc2", "pr_mm1",
+           "pr_jr", "pr_sl"]
     only = os.environ.get("PROBE_OPS")
     if only:
         ops = [o for o in ops if o in only.split(",")]
