@@ -277,7 +277,8 @@ def supported(params: GridParams) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
+def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool,
+                  alloc0=None, zero_start: bool = False):
     """Build the wavefront mega-kernel.
 
     Field buffers update in place (``input_output_aliases``).  Scalar SMEM
@@ -285,6 +286,19 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     disables) and n_cycles (int32 cycles to execute, <= maxk).  Extra output:
     a (maxk, 1) f32 vector of per-cycle residual sum-of-squares, -1 for
     cycles not executed.
+
+    ``alloc0``: override the level-0 allocation shape (pod-tail entry: the
+    pod engine hands its consolidation output directly to this kernel in
+    pod layout, retiring the XLA crop/pad embed).  Must cover the standard
+    allocation's x/y extents and the dense-z live extent; every level-0
+    DMA already slices its live (y, z) window explicitly.
+
+    ``zero_start``: the FIRST cycle's level-0 down pass starts from v = 0
+    without reading the v input (the pod tail's entry v is always zero for
+    LINEAR/NEWTON — reference down_step zeroes the coarse v,
+    src/cpu/CpuSolver.cpp:104-107), so the caller may pass any dead
+    correctly-shaped buffer and skip materialising zeros.  Cycle 0 is
+    peeled out of the in-kernel loop; later cycles read the written v.
     """
     (stencil_values, stencil_offsets, mode, omega, gamma, pre, post,
      cycle_type) = key
@@ -295,6 +309,12 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
     has_nv = mode == Mode.NEWTON
     has_rv = mode == Mode.NONLINEAR
     shapes = [alloc_shape(d) for d in dims]
+    if alloc0 is not None:
+        assert alloc0[0] >= shapes[0][0] and alloc0[1] >= shapes[0][1] \
+            and alloc0[2] >= z_live(dims[0], shapes[0]), (alloc0, shapes[0])
+        shapes[0] = tuple(alloc0)
+    if zero_start:
+        assert not has_rv, "FAS tail entry v is R(v), never zero"
     hs = [1.0 / (d[1] + 1) for d in dims]
     zls = [z_live(dims[l], shapes[l]) for l in range(nlev)]
     tiny = [shapes[l][0] <= _TINY_AX for l in range(nlev)]
@@ -1221,7 +1241,7 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
         # ------------------------------------------------------------------
         # One V-cycle (reference :85-139).
         # ------------------------------------------------------------------
-        def one_cycle():
+        def one_cycle(l0_zero=False):
             np_done = 0
             # Schedule choice.  The chain machinery supports a
             # traffic-minimal "recompute" schedule for LINEAR/NEWTON: down
@@ -1259,15 +1279,24 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 v from HBM instead of the zero start)."""
                 pass_fn = resident_pass if tiny[l] else stream_pass
                 fresh = first_visit and not has_rv
+                # zero_start (pod tail): the peeled first cycle's level-0
+                # down pass never reads the v input — it is zero by the
+                # engine contract.  Forces write-back (the up leg and any
+                # recompute re-derivation read the written v).
+                zs0 = l == 0 and l0_zero
                 if l == nlev - 1:
                     if not more():
                         return None
                     pass_fn(
-                        l, "zero" if fresh else "hbm",
+                        l, "zero" if (fresh or zs0) else "hbm",
                         ("sweep",) * (pre + post), None,
                     )
                     return None
-                src = "hbm" if (l == 0 or not fresh) else "zero"
+                r_l = rec(l) and not zs0
+                src = "hbm" if (l == 0 and not zs0) or not fresh \
+                    else "zero"
+                if zs0:
+                    src = "zero"
                 if not more():
                     return None
                 # FAS: the tau correction is folded into the restrict
@@ -1275,11 +1304,11 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
                 # this pass complete; no separate fixup pass.
                 pass_fn(
                     l, src, ("sweep",) * pre, "restrict",
-                    write_v=not rec(l),
+                    write_v=not r_l,
                 )
                 for si, sub in enumerate(subcycles[kind]):
                     cyc(l + 1, sub, first_visit=(si == 0))
-                if rec(l):
+                if r_l:
                     chain = ("sweep",) * pre + ("corr",) + \
                         ("sweep",) * post
                     # mid first visits re-derive the pre-smoothed v from
@@ -1321,7 +1350,30 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool):
 
             return 0
 
-        jax.lax.fori_loop(0, maxk, cycle_body, 0)
+        first = 0
+        if zero_start:
+            # Peel cycle 0: its level-0 down pass must not read the v
+            # input.  With maxk == 1 (the pod engine's V-cycle tail) the
+            # loop below is skipped entirely — no code duplication.
+            first = 1
+            run0 = jnp.int32(0) < ncyc_ref[0, 0]
+
+            @pl.when(run0)
+            def _():
+                sumsq = one_cycle(l0_zero=True)
+                norms_ref[0, 0] = sumsq
+                thr = thr_ref[0, 0]
+
+                @pl.when((thr >= 0.0) & (sumsq <= thr))
+                def _():
+                    acc[0, 0] = jnp.int32(1)
+
+            @pl.when(jnp.logical_not(run0))
+            def _():
+                norms_ref[0, 0] = jnp.float32(-1.0)
+
+        if first < maxk:
+            jax.lax.fori_loop(first, maxk, cycle_body, 0)
 
     # ---- call signature --------------------------------------------------
     n_in = nlev * n_arr
@@ -1416,11 +1468,16 @@ def vcycle2_fused(
 
 
 def batch_call(args, params: GridParams, maxk: int, ncyc, thr,
-               interpret: bool = False):
+               interpret: bool = False, alloc0=None,
+               zero_start: bool = False):
     """Flat-array kernel invocation for the solver's jitted/donated batch
     wrapper: ``args`` is the per-level (v, f [, newton_v|rest_v]) tuple,
     ``ncyc``/``thr`` are (1,1) int32/float32 arrays.  Returns the raw pallas
-    outputs (aliased fields ..., norms (maxk,1))."""
+    outputs (aliased fields ..., norms (maxk,1)).
+
+    ``alloc0``/``zero_start``: pod-tail entry knobs (see _vcycle2_call) —
+    the level-0 arrays may arrive in pod layout, and a zero-start first
+    cycle never reads the v input (pass a dead buffer)."""
     key = (
         params.stencil.values,
         params.stencil.offsets,
@@ -1432,6 +1489,7 @@ def batch_call(args, params: GridParams, maxk: int, ncyc, thr,
         params.cycle_type,
     )
     call = _vcycle2_call(
-        key, params.level_dims(), args[0].dtype.name, maxk, interpret
+        key, params.level_dims(), args[0].dtype.name, maxk, interpret,
+        None if alloc0 is None else tuple(alloc0), zero_start,
     )
     return call(*args, thr, ncyc)
