@@ -198,6 +198,12 @@ def main() -> None:
         "halo": args.halo,
         "rdma_active": bool(getattr(plan, "rdma_active", False)),
         "fuse": args.fuse,
+        # Round 5: leg-engine pv2 tail (pod-style consolidation) — the
+        # tail root's direct-layout allocation, or None (classic plan).
+        "tail_pv2": (
+            list(plan.tail_pv2)
+            if getattr(plan, "tail_pv2", None) else None
+        ),
         "peak_hbm_gbps_per_chip": peak,
         "processes": jax.process_count(),
     }))

@@ -181,6 +181,11 @@ def _spmd_notes(params, plan, args, _explain) -> None:
         f"dist-engine=spmd fuse={args.fuse} halo={args.halo} "
         f"({nd} distributed levels, {plan.nlev - nd} replicated){fold}",
     ]
+    if getattr(plan, "tail_pv2", None):
+        lines.append(
+            f"replicated tail: ONE pallas_vcycle2 launch from level {nd} "
+            f"(direct layout {tuple(plan.tail_pv2)})"
+        )
     slow = []
     for l in range(nd):
         ps = plan.ps_levels[l] if l < len(plan.ps_levels) else False

@@ -136,7 +136,8 @@ class SpmdPlan:
     decomposition shape ``(mx, my*mz, 1)``; the raw device mesh stays in
     ``device_mesh``."""
 
-    def __init__(self, params: GridParams, mesh_shape, cutoff: int = 4):
+    def __init__(self, params: GridParams, mesh_shape, cutoff: int = 4,
+                 force_nd: Optional[int] = None):
         self.params = params
         self.device_mesh = tuple(mesh_shape)
         mesh_shape = (mesh_shape[0], mesh_shape[1] * mesh_shape[2], 1)
@@ -165,10 +166,22 @@ class SpmdPlan:
             raise ValueError(
                 f"grid {dims[0]} too small for mesh {self.mesh_shape}"
             )
+        if force_nd is not None:
+            # Tail-consolidation mode (round 5): a SHALLOW distributed
+            # prefix feeding a pv2 mega-kernel tail.  The allocation
+            # granularity guarantees every distributed level's block is
+            # 16-aligned per axis (all fused-leg DMA gates pass) and the
+            # junction's halved block is 8-aligned.
+            self.n_dist = min(force_nd, self.n_dist)
+        self.force_nd = force_nd
 
         # Mesh-aware allocation for the distributed levels.
         self.alloc: List[Tuple[int, int, int]] = []
         a0 = []
+        gran = (
+            16 << max(self.n_dist - 1, 0) if force_nd is not None
+            else 1 << self.n_dist
+        )
         for ax in range(3):
             need = max(
                 (dims[l][ax] + 2) << l for l in range(self.n_dist)
@@ -177,7 +190,7 @@ class SpmdPlan:
             # distributed level's *block* is still even (its restriction
             # into the consolidated replicated level halves shard-locally).
             a0.append(
-                _round_up(need, self.mesh_shape[ax] * (1 << self.n_dist))
+                _round_up(need, self.mesh_shape[ax] * gran)
             )
         for l in range(self.n_dist):
             self.alloc.append(tuple(a >> l for a in a0))
@@ -487,9 +500,83 @@ def _local_rhs(plan, l: int, params: GridParams, dtype):
     return jnp.where(keep, val, jnp.zeros_like(val))
 
 
+def _junction_kinds(cycle_type: str, depth: int):
+    """Cycle kinds that can reach level ``depth`` from a root schedule
+    (the subcycle expansion solver/vcycle.py unrolls at trace time)."""
+    sub = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
+    kinds = {cycle_type}
+    for _ in range(depth):
+        kinds = {k2 for k in kinds for k2 in sub[k]}
+    return kinds
+
+
+def _choose_tail_nd(params: GridParams, dev_mesh_shape, cutoff: int,
+                    default_nd: int) -> Optional[int]:
+    """Tail-consolidation depth for the per-leg engine (round 5, VERDICT
+    item 3): a SHALLOW fully-fused distributed prefix feeding ONE
+    pallas_vcycle2 mega-kernel launch on the replicated remainder — the
+    leg-engine analogue of the pod engine's tail.
+
+    The classic cutoff plan distributes deep: its chained-halving
+    allocation pads the finest level by up to ~25% per axis (a0 must
+    cover the worst coarse level shifted up) and levels whose z extent
+    falls under 128 lanes can never run the Pallas shard-local kernels —
+    at 511^3 on one chip that meant a (640,640,640) level-0 allocation
+    and four jnp mid levels.  A shallow prefix keeps the allocation tight
+    AND leaves the lane-starved levels to the mega-kernel, which handles
+    them natively (dense-z, resident tiny passes).
+
+    Returns the cost-minimising depth (per-chip streamed volume: two legs
+    per distributed level + the replicated tail hierarchy), or None when
+    no depth is feasible (tail kinds unsupported by pv2, grid too small).
+    """
+    from gpusolve_tpu.ops import pallas_vcycle2 as pv2
+
+    dims = params.level_dims()
+    nlev = len(dims)
+    mesh_data = (
+        dev_mesh_shape[0], dev_mesh_shape[1] * dev_mesh_shape[2], 1
+    )
+    # Distributing a lane-starved level (z < 127: under 128 live lanes)
+    # buys nothing — the shard kernels gate it to jnp.
+    zpref = 0
+    while zpref < nlev and dims[zpref][2] >= 127:
+        zpref += 1
+    hi = min(default_nd, max(zpref, 1), nlev - 2)
+    best = None
+    for nd in range(1, hi + 1):
+        tail_p = params.replace(grid_dim=dims[nd])
+        if not all(
+            pv2.supported(tail_p.replace(cycle_type=k))
+            for k in _junction_kinds(params.cycle_type, nd)
+        ):
+            continue
+        try:
+            trial = SpmdPlan(
+                params, dev_mesh_shape, cutoff, force_nd=nd
+            )
+        except ValueError:
+            continue
+        if trial.n_dist != nd:
+            continue
+        cost = 0
+        for l in range(nd):
+            bx, by, _bz = trial.block[l]
+            zz = pallas_spmd.z_live(
+                trial.block[l], dims[l][2], mesh_data[2]
+            )
+            cost += 2 * bx * by * zz
+        for l in range(nd, nlev):
+            s = alloc_shape(dims[l])
+            cost += 2 * s[0] * s[1] * pv2.z_live(dims[l], s)
+        if best is None or cost < best[1]:
+            best = (nd, cost)
+    return best[0] if best else None
+
+
 def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
                       local_backend: str = "auto", halo: str = "ppermute",
-                      fuse: str = "leg"):
+                      fuse: str = "leg", tail: str = "auto"):
     """Construct ``(init_fn, cycle_fn, plan)`` — cached.
 
     The traced cycle does not read maxiter/tol/print_progress, so those are
@@ -516,15 +603,18 @@ def build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int = 4,
         raise ValueError(f"fuse must be 'leg' or 'pod', got {fuse!r}")
     if halo not in ("ppermute", "rdma"):
         raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
+    if tail not in ("auto", "pv2", "off"):
+        raise ValueError(f"tail must be 'auto', 'pv2' or 'off', got {tail!r}")
     key = dataclasses.replace(
         params, maxiter=0, tol=0.0, print_progress=False
     )
-    return _build_spmd_solver(key, mesh, cutoff, local_backend, halo)
+    return _build_spmd_solver(key, mesh, cutoff, local_backend, halo, tail)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
-                       local_backend: str, halo: str = "ppermute"):
+                       local_backend: str, halo: str = "ppermute",
+                       tail: str = "auto"):
     """Uncached body of ``build_spmd_solver``.
 
     State layout: a flat tuple with ``n_arr`` arrays per level — [v, f] for
@@ -539,6 +629,34 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     compute everywhere).
     """
     plan = SpmdPlan(params, mesh.devices.shape, cutoff)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    # Tail consolidation (round 5): shallow fused prefix + pv2 tail.
+    # "auto" engages on Pallas-running rigs only — the classic plan stays
+    # the CPU/interpret default so the (cheap) jnp replicated levels keep
+    # serving the test environment; "pv2" forces it (tests of this path).
+    plan.tail_pv2 = None
+    hb_j = czz_j = alloc0_j = None
+    if (
+        tail != "off" and params.dtype == "float32"
+        and local_backend != "xla"
+        and (tail == "pv2" or not interp)
+    ):
+        cand = _choose_tail_nd(
+            params, mesh.devices.shape, cutoff, plan.n_dist
+        )
+        if cand is not None:
+            plan = SpmdPlan(
+                params, mesh.devices.shape, cutoff, force_nd=cand
+            )
+            hb_j = tuple(b // 2 for b in plan.block[cand - 1])
+            czz_j = _round_up(plan.dims[cand][2] + 1, 128)
+            alloc0_j = (
+                plan.mesh_shape[0] * hb_j[0],
+                plan.mesh_shape[1] * hb_j[1],
+                czz_j,
+            )
+            plan.alloc[cand] = alloc0_j
+            plan.tail_pv2 = alloc0_j
     names = plan.names
     dtype = jnp.dtype(params.dtype)
     nd = plan.n_dist
@@ -552,8 +670,16 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
     has_rv = mode == Mode.NONLINEAR
     n_arr = 3 if (has_nv or has_rv) else 2
     overlap = _face_taps_only(stencil)
+    if plan.tail_pv2 is not None:
+        from gpusolve_tpu.ops import pallas_vcycle2 as pv2
 
-    interp = jax.default_backend() not in ("tpu", "axon")
+        tail_params_by_kind = {
+            k: params.replace(
+                grid_dim=plan.dims[nd], cycle_type=k
+            )
+            for k in _junction_kinds(params.cycle_type, nd)
+        }
+
     if interp and halo == "rdma":
         gate_interpret_sync(int(mesh.devices.size), "halo='rdma'")
     if local_backend == "pallas":
@@ -792,9 +918,15 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         )
         kw = {}
         if restrict:
+            # Junction (l+1 == nd, pv2 tail): the coarse target is the
+            # tail root's direct layout — halved-block y extent.
+            r_cby = (
+                hb_j[1] if l + 1 == nd and plan.tail_pv2 is not None
+                else plan.block[l + 1][1]
+            )
             kw = dict(
                 czz=_coarse_zz(l + 1), cnz=plan.dims[l + 1][2],
-                r_cby=plan.block[l + 1][1], r_cny=plan.dims[l + 1][1],
+                r_cby=r_cby, r_cny=plan.dims[l + 1][1],
             )
             if has_rv:
                 # FAS: fold the tau correction in-kernel (the coarse
@@ -811,11 +943,22 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         """Down-leg trapezoid + fused residual/restrict eligibility: the
         kernel's coarse chunk DMAs need 8 | bx//2, and its ghost-zone
         residual recompute (exact r[-1] without a shard fix-up) needs the
-        sweep cone inside the 8-plane slab: n_iter + 2 <= 8."""
+        sweep cone inside the 8-plane slab: n_iter + 2 <= 8.
+
+        The junction level (l+1 == nd) is eligible when the pv2 tail is
+        engaged: the kernel's halved-block coarse output IS the tail
+        root's direct layout (gathered), no XLA glue."""
+        junction = l + 1 == nd and plan.tail_pv2 is not None
+        if not (junction or _rr_fused(l)):
+            return False
+        cby = (
+            tuple(b // 2 for b in plan.block[l])[1] if junction
+            else plan.block[l + 1][1]
+        )
         return (
-            _trap_ok(l, n_iter) and _rr_fused(l)
+            _trap_ok(l, n_iter) and ps_levels[l]
             and plan.block[l][0] % 16 == 0 and n_iter + 2 <= 8
-            and (not ysplit or plan.block[l + 1][1] % 8 == 0)
+            and (not ysplit or cby % 8 == 0)
         )
 
     def _trap_corr_ok(lc, n_iter):
@@ -834,14 +977,30 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
             and _coarse_zz(lc) <= cb[2]
         )
 
+    def _tail_up_ok(n_iter):
+        """Fused junction up leg: the tail root (replicated, direct
+        layout) is the coarse source — per-shard block = a slice of the
+        replicated array, gates mirror _trap_corr_ok with the halved
+        block standing in for plan.block[nd]."""
+        if plan.tail_pv2 is None:
+            return False
+        lf = nd - 1
+        return (
+            _trap_ok(lf, n_iter) and 1 <= n_iter <= 4
+            and plan.block[lf][0] % 16 == 0 and hb_j[1] % 8 == 0
+        )
+
     # Observability (and test hooks): which levels run the single-pass
     # fused legs.
     plan.fused_down_levels = tuple(
         l for l in range(nd) if _trap_rr_ok(l, params.pre_smoothing)
     )
     plan.fused_up_levels = tuple(
-        lc for lc in range(1, nd)
-        if _trap_corr_ok(lc, params.post_smoothing)
+        lc for lc in range(1, nd + 1)
+        if (
+            _trap_corr_ok(lc, params.post_smoothing) if lc < nd
+            else _tail_up_ok(params.post_smoothing)
+        )
     )
 
     def _shift2(a, oy, oz):
@@ -1090,6 +1249,44 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 )
                 sset(l, v=v)
 
+                if l + 1 == nd and plan.tail_pv2 is not None:
+                    # Junction consolidation: the kernel's halved-block
+                    # coarse output gathered tiled IS the tail root's
+                    # direct layout (identity on one shard) — no crop,
+                    # no pad, no XLA tau (folded in-kernel for FAS).
+                    def _gat(x3):
+                        g = x3
+                        if plan.mesh_shape[0] > 1:
+                            g = lax.all_gather(
+                                g, names[0], axis=0, tiled=True
+                            )
+                        if plan.mesh_shape[1] > 1:
+                            g = lax.all_gather(
+                                g, names[1], axis=1, tiled=True
+                            )
+                        return g
+
+                    f_next = _gat(cr)
+                    if has_rv:
+                        # The tail streams rv as its root v: junk outside
+                        # the interior would enter the stencil taps —
+                        # mask it (f needs no mask: the tail reads f at
+                        # interior centre positions only).
+                        maskj = np.zeros(alloc0_j, dtype=bool)
+                        nxc, nyc, nzc = plan.dims[nd]
+                        maskj[1:nxc + 1, 1:nyc + 1, 1:nzc + 1] = True
+                        rv = jnp.where(
+                            jnp.asarray(maskj), _gat(crv),
+                            jnp.zeros(alloc0_j, dtype),
+                        )
+                        sset(nd, v=rv, f=f_next, aux=rv)
+                    else:
+                        # LINEAR/NEWTON: the tail's zero-start first
+                        # cycle never reads the root v — leave the dead
+                        # buffer in place.
+                        sset(nd, f=f_next)
+                    return
+
                 def _embed_z(x3, lc=l + 1):
                     cbz = plan.block[lc][2]
                     czz = x3.shape[2]
@@ -1228,6 +1425,50 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
                 vc = arrs_c[0]
                 if has_rv:
                     vc = vc - arrs_c[2]
+                if _tail_up_ok(post):
+                    # Fused junction up leg (round 5): this shard's
+                    # coarse block is a slice of the replicated tail
+                    # root (identity on one shard — the root IS the
+                    # halved block), then the same single-pass
+                    # prolong+post-sweep kernel as the distributed legs.
+                    if plan.mesh_shape[0] == 1 and plan.mesh_shape[1] == 1:
+                        vcc = vc
+                    else:
+                        starts = (
+                            _global_start(hb_j[0], names[0])
+                            if plan.mesh_shape[0] > 1 else jnp.int32(0),
+                            _global_start(hb_j[1], names[1])
+                            if plan.mesh_shape[1] > 1 else jnp.int32(0),
+                            jnp.int32(0),
+                        )
+                        vcc = lax.dynamic_slice(
+                            vc, starts, (hb_j[0], hb_j[1], vc.shape[2])
+                        )
+                    cslabs = _slabs_multi([vcc], czz_j)
+                    fields = [vf, ff]
+                    if has_nv:
+                        fields.append(aux_f)
+                    slabs = _slabs_multi(fields, zzs[l - 1])
+                    consumer = "norm" if l - 1 == 0 else None
+                    outs = pallas_spmd.multi_sweep_block(
+                        vf, ff, tuple(slabs), _bounds_arr(l - 1),
+                        params, hs[l - 1], zzs[l - 1], post,
+                        newton_v=aux_f if has_nv else None,
+                        coarse=(vcc, *cslabs), czp=czz_j,
+                        c_ny=plan.dims[l - 1][1],
+                        c_nz=plan.dims[l - 1][2],
+                        consumer=consumer, interpret=interp, ghy=ghy,
+                    )
+                    sset_ss = None
+                    if consumer:
+                        vf, pss = outs
+                        sset_ss = _edge_norm_complete(
+                            0, vf, ff, aux_f, pss
+                        )
+                    else:
+                        vf, _ = outs
+                    sset(l - 1, v=vf)
+                    return sset_ss
                 asm_c = _slice_coarse_for_shard(vc, plan, l - 1)
             else:
                 arrs_c = sget(l)
@@ -1314,7 +1555,32 @@ def _build_spmd_solver(params: GridParams, mesh: Mesh, cutoff: int,
         subcycles = {"V": ("V",), "W": ("W", "W"), "F": ("F", "V")}
         final_ss = [None]
 
+        def tail_cycle(kind, fresh):
+            """One ``kind``-cycle over the replicated sub-hierarchy as a
+            single pallas_vcycle2 launch (round 5: the per-leg engine's
+            pod-style tail).  The tail root lives in its direct (gathered
+            halved-block) layout — alloc0 — and fresh LINEAR/NEWTON
+            visits zero-start in-kernel, so the consolidation wrote only
+            f (down_dist's junction branch)."""
+            zs = fresh and not has_rv
+            targs = []
+            for t in range(nd, nlev):
+                targs.extend(sget(t)[:n_arr])
+            touts = pv2.batch_call(
+                tuple(targs), tail_params_by_kind[kind], 1,
+                jnp.full((1, 1), 1, jnp.int32),
+                jnp.full((1, 1), -1.0, jnp.float32),
+                interpret=interp, alloc0=plan.tail_pv2, zero_start=zs,
+            )
+            for j, t in enumerate(range(nd, nlev)):
+                o = touts[j * n_arr : (j + 1) * n_arr]
+                sset(t, v=o[0], f=o[1],
+                     aux=o[2] if n_arr == 3 else None)
+
         def cycle_at(i, kind, fresh):
+            if i == nd and plan.tail_pv2 is not None:
+                tail_cycle(kind, fresh)
+                return
             if i == nlev - 1:
                 coarsest()
                 return
@@ -1452,7 +1718,7 @@ def gather_solution(state, plan: SpmdPlan, mesh: Mesh,
 @functools.lru_cache(maxsize=32)
 def _k_cycle_fn(params: GridParams, mesh: Mesh, cutoff: int,
                 local_backend: str, k: int, halo: str = "ppermute",
-                fuse: str = "leg"):
+                fuse: str = "leg", tail: str = "auto"):
     """``k`` V-cycles per dispatch via ``lax.scan`` (amortises the
     per-launch/per-fetch overhead that dominates through the tunnel and on
     small grids — the spmd analogue of the mega-kernel's multi-cycle
@@ -1463,7 +1729,7 @@ def _k_cycle_fn(params: GridParams, mesh: Mesh, cutoff: int,
         _, cycle_fn, _ = _pod._build_pod_solver(params, mesh, cutoff)
     else:
         _, cycle_fn, _ = _build_spmd_solver(
-            params, mesh, cutoff, local_backend, halo
+            params, mesh, cutoff, local_backend, halo, tail
         )
 
     def k_cycles(*state):
@@ -1486,6 +1752,7 @@ def solve_spmd(
     halo: str = "ppermute",
     fuse: str = "leg",
     timer=None,
+    tail: str = "auto",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Full explicit-halo SPMD solve, any mode.  Returns
     ``(final_state, residual_history, plan)`` — the history is comparable
@@ -1507,7 +1774,7 @@ def solve_spmd(
     from gpusolve_tpu.utils.timer import Timer as _Timer
 
     init_fn, cycle_fn, plan_ = build_spmd_solver(
-        params, mesh, cutoff, local_backend, halo, fuse
+        params, mesh, cutoff, local_backend, halo, fuse, tail
     )
     plan = plan or plan_
     if state is None:
@@ -1537,7 +1804,7 @@ def solve_spmd(
             params, maxiter=0, tol=0.0, print_progress=False
         )
         kfn = _k_cycle_fn(
-            key, mesh, cutoff, local_backend, k, halo, fuse
+            key, mesh, cutoff, local_backend, k, halo, fuse, tail
         )
 
     def _progress(i, res, ms):
@@ -1755,6 +2022,7 @@ def newton_solve_spmd(
     initial_residual: Optional[float] = None,
     timer=None,
     check_every: int = 1,
+    tail: str = "auto",
 ) -> Tuple[tuple, List[float], SpmdPlan]:
     """Distributed outer Newton iteration on the explicit-halo engine
     (reference src/cpu/NewtonSolver.cpp:10-44): per step, comp_f builds the
@@ -1784,7 +2052,7 @@ def newton_solve_spmd(
 
     assert params.mode == Mode.NEWTON
     init_fn, cycle_fn, plan = build_spmd_solver(
-        params, mesh, cutoff, local_backend, halo, fuse
+        params, mesh, cutoff, local_backend, halo, fuse, tail
     )
     comp_f_fn, restrict_nv_fn, update_nv_fn = _newton_helpers(
         params, mesh, plan
@@ -1841,7 +2109,7 @@ def newton_solve_spmd(
         st, _, _ = solve_spmd(
             inner, mesh, cutoff, state=tuple(state), plan=plan,
             initial_residual=fn, local_backend=local_backend,
-            halo=halo, fuse=fuse, check_every=check_every,
+            halo=halo, fuse=fuse, check_every=check_every, tail=tail,
         )
         state = list(st)
         state[2] = update_nv_fn(state[2], state[0])

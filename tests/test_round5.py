@@ -195,3 +195,114 @@ def test_gspmd_prints_demotion_note(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "debugging/fallback" in r.stderr, r.stderr
+
+
+# ---------------------------------------------------------------------------
+# Leg-engine pv2 tail (round 5, VERDICT item 3): the replicated
+# sub-hierarchy as ONE mega-kernel launch behind a shallow fused prefix.
+# "auto" keeps the classic plan on CPU; tail="pv2" forces the path here.
+# ---------------------------------------------------------------------------
+
+def _tail_params(mode, dims=(63, 63, 63), maxiter=3, **kw):
+    defaults = dict(
+        maxiter=maxiter, tol=1e-30, grid_dim=dims, mode=mode,
+        pre_smoothing=3, post_smoothing=3, omega=0.8,
+        gamma=1.0 if mode != Mode.LINEAR else 0.0,
+        stencil=Stencil.poisson_7pt(), dtype="float32",
+        print_progress=False,
+    )
+    defaults.update(kw)
+    return GridParams(**defaults)
+
+
+@pytest.mark.parametrize(
+    "mode", [Mode.LINEAR, Mode.NONLINEAR, Mode.NEWTON],
+    ids=["linear", "nonlinear", "newton"],
+)
+def test_leg_tail_pv2_matches_classic(mode):
+    """tail='pv2' (jnp prefix + mega-kernel tail) must reproduce the
+    classic plan's histories (pv2-vs-XLA f32 reordering tolerance)."""
+    import jax
+
+    from gpusolve_tpu.dist import newton_solve_spmd, solve_spmd
+    from gpusolve_tpu.dist.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    p = _tail_params(mode)
+    mesh = make_mesh((2, 1, 1))
+    solver = newton_solve_spmd if mode == Mode.NEWTON else solve_spmd
+    _, h_off, _ = solver(p, mesh, cutoff=4, tail="off")
+    _, h_pv2, plan = solver(p, mesh, cutoff=4, tail="pv2")
+    assert plan.tail_pv2 is not None and plan.n_dist >= 1
+    ho = np.asarray(h_off)
+    np.testing.assert_allclose(
+        np.asarray(h_pv2), ho, rtol=2e-3, atol=1e-6 * ho[0]
+    )
+
+
+def test_leg_tail_pv2_wcycle():
+    """W cycles reach the junction twice per cycle: the second tail visit
+    must continue from the first's state (no zero-start)."""
+    import jax
+
+    from gpusolve_tpu.dist import solve_spmd
+    from gpusolve_tpu.dist.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    p = _tail_params(Mode.LINEAR, maxiter=2).replace(cycle_type="W")
+    mesh = make_mesh((2, 1, 1))
+    _, h_off, _ = solve_spmd(p, mesh, cutoff=4, tail="off")
+    _, h_pv2, plan = solve_spmd(p, mesh, cutoff=4, tail="pv2")
+    assert plan.tail_pv2 is not None
+    ho = np.asarray(h_off)
+    np.testing.assert_allclose(
+        np.asarray(h_pv2), ho, rtol=2e-3, atol=1e-6 * ho[0]
+    )
+
+
+def test_leg_tail_fused_junction_127():
+    """At 127^3 the interpret-mode shard kernels are eligible, so the
+    JUNCTION legs run fused: the down kernel's halved-block restrict IS
+    the tail root (no crop/pad), and the up leg slices the replicated
+    root directly.  Pins the direct-layout junction against the classic
+    plan (cf. the on-chip 511^3 run: leg engine 21.0 -> 14.3 ms/cycle)."""
+    import jax
+
+    from gpusolve_tpu.dist import solve_spmd
+    from gpusolve_tpu.dist.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    p = _tail_params(Mode.LINEAR, dims=(127, 127, 127), maxiter=2)
+    mesh = make_mesh((2, 1, 1))
+    _, h_off, _ = solve_spmd(
+        p, mesh, cutoff=4, tail="off", local_backend="pallas"
+    )
+    _, h_pv2, plan = solve_spmd(
+        p, mesh, cutoff=4, tail="pv2", local_backend="pallas"
+    )
+    assert plan.tail_pv2 is not None
+    assert 0 in plan.fused_down_levels, plan.fused_down_levels
+    assert plan.n_dist in plan.fused_up_levels, plan.fused_up_levels
+    ho = np.asarray(h_off)
+    np.testing.assert_allclose(
+        np.asarray(h_pv2), ho, rtol=5e-4, atol=1e-6 * ho[0]
+    )
+
+
+def test_leg_tail_auto_off_on_cpu():
+    """'auto' must keep the classic plan on interpret rigs (the CPU test
+    environment's histories and runtimes stay untouched)."""
+    import jax
+
+    from gpusolve_tpu.dist.spmd import build_spmd_solver
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from gpusolve_tpu.dist.mesh import make_mesh
+
+    p = _tail_params(Mode.LINEAR)
+    _, _, plan = build_spmd_solver(p, make_mesh((2, 1, 1)), cutoff=4)
+    assert getattr(plan, "tail_pv2", None) is None
