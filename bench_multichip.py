@@ -63,6 +63,12 @@ def main() -> None:
                     default="ppermute",
                     help="x-face slab exchange: XLA ppermute collectives or "
                     "in-kernel remote DMAs (ops/pallas_spmd.rdma_exchange)")
+    ap.add_argument("--tail", choices=["auto", "pv2", "off"],
+                    default="auto",
+                    help="leg-engine replicated-tail mode: one pv2 "
+                    "mega-kernel launch (auto: on Pallas rigs), classic "
+                    "per-level ops (off), or forced (pv2 — interpret "
+                    "testing)")
     ap.add_argument("--fuse", choices=["auto", "leg", "pod"], default="auto",
                     help="pod-scale fused engine, per-leg kernels, or auto "
                     "(CLI semantics: pod wherever its gates allow — the "
@@ -147,7 +153,8 @@ def main() -> None:
     # stall on the axon TPU).
     warm = params.replace(maxiter=1)
     state, _, plan = solve_spmd(
-        warm, mesh, cutoff=args.cutoff, halo=args.halo, fuse=args.fuse
+        warm, mesh, cutoff=args.cutoff, halo=args.halo, fuse=args.fuse,
+        tail=args.tail,
     )
 
     ck = args.check_every or args.cycles
@@ -155,13 +162,13 @@ def main() -> None:
         solve_spmd(
             params.replace(maxiter=ck), mesh, cutoff=args.cutoff,
             state=state, plan=plan, initial_residual=1.0, check_every=ck,
-            halo=args.halo, fuse=args.fuse,
+            halo=args.halo, fuse=args.fuse, tail=args.tail,
         )
     t0 = time.perf_counter()
     _, history, _ = solve_spmd(
         params, mesh, cutoff=args.cutoff, state=state, plan=plan,
         initial_residual=1.0, check_every=ck, halo=args.halo,
-        fuse=args.fuse,
+        fuse=args.fuse, tail=args.tail,
     )
     dt = time.perf_counter() - t0
     per_cycle = dt / args.cycles
