@@ -306,3 +306,30 @@ def test_leg_tail_auto_off_on_cpu():
     p = _tail_params(Mode.LINEAR)
     _, _, plan = build_spmd_solver(p, make_mesh((2, 1, 1)), cutoff=4)
     assert getattr(plan, "tail_pv2", None) is None
+
+
+def test_leg_tail_fused_junction_ysplit():
+    """Y-split mesh through the tail junction: the fused junction legs
+    must handle the folded-y decomposition (two-stage slab exchange,
+    ghy-extended windows) — the round-5 path tests above only cover
+    x-splits."""
+    import jax
+
+    from gpusolve_tpu.dist import solve_spmd
+    from gpusolve_tpu.dist.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    p = _tail_params(Mode.LINEAR, dims=(127, 127, 127), maxiter=2)
+    mesh = make_mesh((1, 2, 1))
+    _, h_off, _ = solve_spmd(
+        p, mesh, cutoff=4, tail="off", local_backend="pallas"
+    )
+    _, h_pv2, plan = solve_spmd(
+        p, mesh, cutoff=4, tail="pv2", local_backend="pallas"
+    )
+    assert plan.tail_pv2 is not None
+    ho = np.asarray(h_off)
+    np.testing.assert_allclose(
+        np.asarray(h_pv2), ho, rtol=5e-4, atol=1e-6 * ho[0]
+    )
