@@ -160,6 +160,10 @@ def _newton_batch(
     ``thr_outer`` carries the 2-ulp up-bias of _solve_fused2 so the device
     gate stops whenever the host criterion would; the host re-checks every
     returned norm, so batching changes dispatch count, not results.
+    (One knife-edge caveat: the inner threshold is derived in f32 on
+    device vs f64-then-cast on the host path — a 1-ulp difference that
+    could flip an inner early-stop in measure-zero cases.  Measured
+    bit-identical on chip at 63³; the outer gate is exact either way.)
     """
     from gpusolve_tpu.ops import pallas_vcycle2 as pv2
 
