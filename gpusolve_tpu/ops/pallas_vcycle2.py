@@ -452,19 +452,55 @@ def _vcycle2_call(key, dims_key, dtype_name, maxk: int, interpret: bool,
                 return rr_lin - gamma * center * jnp.exp(center)
             return rr_lin
 
+        def _dot3(a, w, transpose=False):
+            """Transfer dot at f32-class precision in THREE MXU passes
+            instead of HIGHEST's six (round 5).  The full-weighting /
+            trilinear weights are dyadic (0.25/0.5/1.0) — EXACT in bf16 —
+            and the plane operand splits into three bf16 terms carrying
+            all 24 f32 mantissa bits (each residual subtraction is exact,
+            each bf16×bf16 product is exact in f32), so accumulation
+            precision matches HIGHEST's class.  The three passes ride ONE
+            dot call via contraction-axis concatenation.  Measured on the
+            511³ down-leg probe (scripts/probe_wavefront restrict_dotc3):
+            4.8 → 3.96 ms/pass — in-kernel, isolated HIGHEST dots price
+            per PASS, overturning the standalone pr_mm probe where call
+            overhead dominated (PERF.md §6b/§9)."""
+            hi = a.astype(jnp.bfloat16)
+            r1 = a - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            wb = w.astype(jnp.bfloat16)
+            ww = jnp.concatenate([wb] * 3, axis=0)
+            if transpose:
+                aa = jnp.concatenate([hi, mid, lo], axis=0)
+                return jnp.dot(
+                    ww.T, aa, preferred_element_type=jnp.float32
+                )
+            aa = jnp.concatenate([hi, mid, lo], axis=1)
+            return jnp.dot(aa, ww, preferred_element_type=jnp.float32)
+
+        fast_dots = jnp.dtype(dtype) == jnp.float32
+
         def restrict_yz(plane, wy, wz, ckeep, czero, valid):
-            tmp = jnp.dot(
-                plane, wz, preferred_element_type=_acc_dt(dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            out_c = jnp.dot(
-                wy.T, tmp.astype(dtype),
-                preferred_element_type=_acc_dt(dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-            return jnp.where(valid & ckeep, out_c, czero)
+            if fast_dots:
+                out_c = _dot3(_dot3(plane, wz), wy, transpose=True)
+            else:
+                tmp = jnp.dot(
+                    plane, wz, preferred_element_type=_acc_dt(dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                out_c = jnp.dot(
+                    wy.T, tmp.astype(dtype),
+                    preferred_element_type=_acc_dt(dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return jnp.where(valid & ckeep, out_c.astype(dtype), czero)
 
         def prolong_yz(cplane, py, pz):
+            if fast_dots:
+                return _dot3(
+                    _dot3(cplane, pz), py, transpose=True
+                ).astype(dtype)
             tmp = jnp.dot(
                 cplane, pz, preferred_element_type=_acc_dt(dtype),
                 precision=jax.lax.Precision.HIGHEST,

@@ -45,18 +45,46 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _restrict_mat_k(fp, cp, cn):
+    ff = jax.lax.broadcasted_iota(jnp.int32, (fp, cp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (fp, cp), 1)
+    d = ff - 2 * cc
+    w = jnp.where(d == 0, 0.5, 0.0)
+    w = jnp.where((d == -1) | (d == 1), 0.25, w)
+    return jnp.where((cc >= 1) & (cc <= cn), w, 0.0).astype(jnp.float32)
+
+
 def make_pass(variant: str, rk: int = 1):
     """``rk`` repeats the whole pass inside the kernel (static count): the
     per-launch tunnel overhead on this rig (~10 ms) swamps a single ~3 ms
     pass, so per-pass cost is measured as (t(rk_hi) - t(rk_lo)) / diff."""
     NSL = _cdiv(NX + 2, TX)   # input slabs
     NC = _cdiv(NX, TX)        # output chunks
-    lag_max = L + 1           # norm consumer
+    restrict = variant.startswith("restrict")
+    lag_max = (L + 3) if restrict else (L + 1)
     nsteps = NX + 2 + lag_max
     trig = max(2, lag_max - 7)
+    CNX = NX // 2             # coarse interior
+    CYL, CZL = 264, 256
+    NCC = _cdiv(CNX, TX)
 
-    def kernel(v_ref, f_ref, ov_ref, norm_ref, sv, sf, outst, g1, g2, sem):
+    def kernel(v_ref, f_ref, ov_ref, co_ref, norm_ref,
+               sv, sf, outst, g1, g2, rres, cst, vxb, sem):
         gens = [g1, g2]
+        wz = _restrict_mat_k(ZL, CZL, CNX)
+        wy = _restrict_mat_k(YL, CYL, CNX)
+        cyi = jax.lax.broadcasted_iota(jnp.int32, (CYL, CZL), 0)
+        czi = jax.lax.broadcasted_iota(jnp.int32, (CYL, CZL), 1)
+        ckeep = (cyi >= 1) & (cyi <= CNX) & (czi >= 1) & (czi <= CNX)
+        czero = jnp.zeros((CYL, CZL), jnp.float32)
+
+        def cst_chunk(c, wait=False):
+            cp = pltpu.make_async_copy(
+                cst.at[pl.ds((c % 2) * TX, TX), :, :],
+                co_ref.at[pl.ds(c * TX + 1, TX), :, :],
+                sem.at[5, (c % 2)],
+            )
+            cp.wait() if wait else cp.start()
 
         def keep():
             yi = jax.lax.broadcasted_iota(jnp.int32, (YL, ZL), 0)
@@ -179,6 +207,135 @@ def make_pass(variant: str, rk: int = 1):
                     def _(k=k, q=q):
                         gens[k - 1][r3(q), :, :] = zero
 
+            if restrict:
+                # residual -> 3-plane ring -> 27-pt restriction: the real
+                # kernel's down-leg consumer shape (x-comb + two HIGHEST
+                # dots per coarse plane + staged chunk DMAs).
+                q = p - L - 1
+
+                @pl.when((q >= 1) & (q <= NX))
+                def _(q=q):
+                    rr = sweep(opl(q), opl(q - 1), opl(q + 1), fpl(q))
+                    rres[r3(q), :, :] = jnp.where(kp, rr, zero)
+
+                m = (q - 1) // 2
+                m_ready = (
+                    (((q + 32) % 2) == 1) & (m >= 1) & (m <= NCC * TX)
+                )
+                if variant != "restrict_nodma":
+                    @pl.when(
+                        m_ready & (((m - 1) % TX) == 0)
+                        & ((m - 1) // TX >= 2)
+                    )
+                    def _(m=m):
+                        cst_chunk((m - 1) // TX - 2, wait=True)
+
+                if variant == "restrict_burst8":
+                    # Stage the x-combined planes; run all 16 dots of a
+                    # chunk BACK-TO-BACK at its last plane (probe_vpu's
+                    # pr_mm shows consecutive dots pipeline on the MXU;
+                    # the isolated every-other-step dot pair measured
+                    # ~4.5x its pipelined cost here).
+                    @pl.when(m_ready)
+                    def _(q=q, m=m):
+                        top = jnp.where(
+                            2 * m + 1 > NX, zero,
+                            rres[r3(2 * m + 1), :, :]
+                        )
+                        vxb[(m - 1) % TX, :, :] = (
+                            0.25 * rres[r3(2 * m - 1), :, :]
+                            + 0.5 * rres[r3(2 * m), :, :] + 0.25 * top
+                        )
+
+                    @pl.when(m_ready & (((m - 1) % TX) == TX - 1))
+                    def _(m=m):
+                        base_slot = ((m - 1) // TX % 2) * TX
+                        for j in range(TX):
+                            vxj = vxb[j, :, :]
+                            t = jnp.dot(
+                                vxj, wz,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                            oc = jnp.dot(
+                                wy.T, t,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                            cst[base_slot + j, :, :] = jnp.where(
+                                ckeep, oc, czero
+                            )
+                else:
+                    @pl.when(m_ready)
+                    def _(q=q, m=m):
+                        top = jnp.where(
+                            2 * m + 1 > NX, zero,
+                            rres[r3(2 * m + 1), :, :]
+                        )
+                        vx = (
+                            0.25 * rres[r3(2 * m - 1), :, :]
+                            + 0.5 * rres[r3(2 * m), :, :] + 0.25 * top
+                        )
+                        if variant == "restrict_nodot":
+                            oc = 0.5 * vx[:CYL, :CZL]
+                        elif variant == "restrict_dotc3":
+                            # concat-split bf16x3: ONE call, 3 exact
+                            # passes (all 24 f32 mantissa bits; products
+                            # exact in f32) vs HIGHEST's 6
+                            def split3(a):
+                                hi = a.astype(jnp.bfloat16)
+                                r1 = a - hi.astype(jnp.float32)
+                                mid = r1.astype(jnp.bfloat16)
+                                lo = (
+                                    r1 - mid.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                                return hi, mid, lo
+
+                            wzb = wz.astype(jnp.bfloat16)
+                            wyb = wy.astype(jnp.bfloat16)
+                            t = jnp.dot(
+                                jnp.concatenate(split3(vx), axis=1),
+                                jnp.concatenate([wzb] * 3, axis=0),
+                                preferred_element_type=jnp.float32,
+                            )
+                            oc = jnp.dot(
+                                jnp.concatenate(
+                                    [wyb.T] * 3, axis=1
+                                ),
+                                jnp.concatenate(split3(t), axis=0),
+                                preferred_element_type=jnp.float32,
+                            )
+                        elif variant == "restrict_dot1":
+                            # cost bound: plain 1-pass bf16 dots
+                            t = jnp.dot(
+                                vx.astype(jnp.bfloat16),
+                                wz.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32,
+                            )
+                            oc = jnp.dot(
+                                wy.T.astype(jnp.bfloat16),
+                                t.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32,
+                            )
+                        else:
+                            t = jnp.dot(
+                                vx, wz,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                            oc = jnp.dot(
+                                wy.T, t,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                        cst[r16(m - 1), :, :] = jnp.where(ckeep, oc, czero)
+
+                if variant != "restrict_nodma":
+                    @pl.when(m_ready & (((m - 1) % TX) == TX - 1))
+                    def _(m=m):
+                        cst_chunk((m - 1) // TX)
+                return carry
+
             # norm consumer at lag L+1
             q = p - L - 1
             total, comp = carry
@@ -209,6 +366,10 @@ def make_pass(variant: str, rk: int = 1):
             for back in (2, 1):
                 if NC - back >= 0:
                     out_chunk(jnp.int32(NC - back), wait=True)
+            if restrict and variant != "restrict_nodma":
+                for back in (2, 1):
+                    if NCC - back >= 0:
+                        cst_chunk(jnp.int32(NCC - back), wait=True)
             return carry
 
         carry = jax.lax.fori_loop(
@@ -222,6 +383,9 @@ def make_pass(variant: str, rk: int = 1):
         pltpu.VMEM((16, YL, ZL), jnp.float32),   # outst
         pltpu.VMEM((3, YL, ZL), jnp.float32),    # g1
         pltpu.VMEM((3, YL, ZL), jnp.float32),    # g2
+        pltpu.VMEM((3, YL, ZL), jnp.float32),    # rres
+        pltpu.VMEM((16, CYL, CZL), jnp.float32),  # cst
+        pltpu.VMEM((8, YL, ZL), jnp.float32),     # vxb (burst staging)
         pltpu.SemaphoreType.DMA((8, 3)),
     ]
     return pl.pallas_call(
@@ -230,10 +394,12 @@ def make_pass(variant: str, rk: int = 1):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((AX, YL, ZL), jnp.float32),
+            jax.ShapeDtypeStruct((264, CYL, CZL), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         scratch_shapes=scratch,
@@ -249,17 +415,23 @@ def main():
     f = jnp.ones((AX, YL, ZL), jnp.float32) * 0.01
     gb = 3 * AX * YL * ZL * 4 / 1e9
     RK_LO, RK_HI = 2, 12
-    for variant in ("base", "unroll8", "compute0"):
+    variants = ("base", "unroll8", "compute0", "restrict",
+                "restrict_nodot", "restrict_nodma", "restrict_burst8",
+                "restrict_dot1", "restrict_dotc3")
+    only = os.environ.get("PROBE_VARIANTS")
+    if only:
+        variants = tuple(v for v in variants if v in only.split(","))
+    for variant in variants:
         try:
             ts = {}
             for rk in (RK_LO, RK_HI):
                 call = jax.jit(make_pass(variant, rk))
-                out, nrm = call(v, f)
-                float(nrm[0, 0])  # compile+sync
+                out, cout, nrm = call(v, f)
+                float(nrm[0, 0]); float(cout[1, 1, 1])  # compile+sync
                 t0 = time.perf_counter()
                 for _ in range(REPS):
-                    out, nrm = call(v, f)
-                float(nrm[0, 0])
+                    out, cout, nrm = call(v, f)
+                float(nrm[0, 0]); float(cout[1, 1, 1])
                 ts[rk] = (time.perf_counter() - t0) / REPS
             dt = (ts[RK_HI] - ts[RK_LO]) / (RK_HI - RK_LO)
             print(f"{variant:9s} {dt*1e3:7.2f} ms/pass device "
