@@ -493,6 +493,40 @@ def _residual_call(
     )
 
 
+
+def _dot3x(a, w, dtype, transpose=False):
+    """Transfer dot at f32-class precision in THREE MXU passes instead of
+    HIGHEST's six (round 5, shared with pallas_vcycle2._dot3): the
+    full-weighting / trilinear weights are dyadic — exact in bf16 — and
+    the plane operand splits into three bf16 terms carrying all 24 f32
+    mantissa bits, riding ONE dot call via contraction-axis
+    concatenation.  f64 (interpret parity runs) keeps the HIGHEST form.
+    Measured 0.9 ms/pass cheaper per transfer consumer at 511^3
+    (scripts/probe_wavefront restrict ladder): in-kernel, isolated
+    HIGHEST dots price per PASS, not per call."""
+    if jnp.dtype(dtype) != jnp.float32:
+        if transpose:
+            return jnp.dot(
+                w.T, a, preferred_element_type=_acc_dt(dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
+        return jnp.dot(
+            a, w, preferred_element_type=_acc_dt(dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(dtype)
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    ww = jnp.concatenate([wb] * 3, axis=0)
+    if transpose:
+        aa = jnp.concatenate([hi, mid, lo], axis=0)
+        return jnp.dot(ww.T, aa, preferred_element_type=jnp.float32)
+    aa = jnp.concatenate([hi, mid, lo], axis=1)
+    return jnp.dot(aa, ww, preferred_element_type=jnp.float32)
+
+
 def z_live(block, nz_global: int, mesh_z: int) -> int:
     """Lane columns actually streamed.  With the z mesh axis unsplit this
     is the dense extent ``round_up(nz+1, 128)`` (as in pallas_vcycle2: the
@@ -649,10 +683,7 @@ def _res_restrict_call(
         wz = _restrict_z_matrix(zz, czz, cnz, dtype)
 
         def zc(p2d):
-            return jnp.dot(
-                p2d, wz, preferred_element_type=_acc_dt(dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
+            return _dot3x(p2d, wz, dtype).astype(dtype)
 
         # combined[i] = r[sx-1+i]: carry holds the previous program's last
         # residual plane (zero at t==0 — the missing neighbour term arrives
@@ -855,14 +886,8 @@ def _prolong_add_call(
             a = (p + 2) // 2 - (sx // 2 + 1)
             b = (p + 3) // 2 - (sx // 2 + 1)
             ca = 0.5 * (cs[a] + cs[b])  # (cyp, czz)
-            tmp = jnp.dot(
-                ca, pz, preferred_element_type=_acc_dt(dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            e_p = jnp.dot(
-                py.T, tmp.astype(dtype),
-                preferred_element_type=_acc_dt(dtype),
-                precision=jax.lax.Precision.HIGHEST,
+            e_p = _dot3x(
+                _dot3x(ca, pz, dtype), py, dtype, transpose=True
             ).astype(dtype)
             os_[i] = vs[i] + e_p
 
@@ -1382,14 +1407,8 @@ def _make_leg(
 
             def zc(p2d):
                 # full y+z contraction: (by, zz) -> (r_cby, czz)
-                tmp = jnp.dot(
-                    p2d, wz, preferred_element_type=_acc_dt(dtype),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                return jnp.dot(
-                    wy.T, tmp.astype(dtype),
-                    preferred_element_type=_acc_dt(dtype),
-                    precision=jax.lax.Precision.HIGHEST,
+                return _dot3x(
+                    _dot3x(p2d, wz, dtype), wy, dtype, transpose=True
                 ).astype(dtype)
 
         if src_corr:
@@ -1402,14 +1421,9 @@ def _make_leg(
             pz = _prolong_pad_matrix(czp, zz, c_nz, dtype)
 
             def prolong_yz(cplane):
-                tmp = jnp.dot(
-                    cplane, pz, preferred_element_type=_acc_dt(dtype),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                return jnp.dot(
-                    py.T, tmp.astype(dtype),
-                    preferred_element_type=_acc_dt(dtype),
-                    precision=jax.lax.Precision.HIGHEST,
+                return _dot3x(
+                    _dot3x(cplane, pz, dtype), py, dtype,
+                    transpose=True,
                 ).astype(dtype)
 
         in_slabs(jnp.int32(0), True)
@@ -1662,15 +1676,9 @@ def _make_leg(
                                 bye, r_cby + 2 * ghy, ghy, dtype,
                                 coff=ghy,
                             )
-                            tmp = jnp.dot(
-                                vx_c, wz,
-                                preferred_element_type=_acc_dt(dtype),
-                                precision=jax.lax.Precision.HIGHEST,
-                            )
-                            vce = jnp.dot(
-                                wy_v.T, tmp.astype(dtype),
-                                preferred_element_type=_acc_dt(dtype),
-                                precision=jax.lax.Precision.HIGHEST,
+                            vce = _dot3x(
+                                _dot3x(vx_c, wz, dtype), wy_v, dtype,
+                                transpose=True,
                             ).astype(dtype)
                             cyie = jax.lax.broadcasted_iota(
                                 jnp.int32, (r_cby + 2 * ghy, czz), 0
