@@ -14,6 +14,21 @@ sweep stages + a norm consumer, v written back) in three variants:
   compute0  base with the stencil work stubbed out (val = centre plane) —
             isolates DMA + bookkeeping floor
 
+Round-5 restrict ladder (the down leg's consumer, PERF.md §9 — this is
+the probe that found the transfer-dot discovery):
+
+  restrict         + the kernel's restrict consumer (x-comb, two
+                   Precision.HIGHEST dots per coarse plane, staged
+                   chunk DMAs): 4.8-4.9 ms/pass — reproduces the real
+                   down leg's cost over base
+  restrict_nodot   dots replaced by a copy: 3.17 — the gap is the dots
+  restrict_nodma   dots, no coarse DMAs: unchanged — not the DMAs
+  restrict_burst8  16 dots back-to-back per chunk: WORSE — not call
+                   overhead
+  restrict_dot1    plain 1-pass bf16 dots: 3.37 — it's the PASSES
+  restrict_dotc3   concat-split bf16x3 (3 exact passes, one call): 3.96
+                   — the production fix (kernels ship this form)
+
 ms/pass targets: VPU 4 stages x 511 planes x 1.4 µs = ~2.9 ms;
 DMA 1.5 GB read+write at ~658 GB/s = ~2.3 ms (overlapped: max ~2.9).
 
