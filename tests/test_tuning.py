@@ -52,8 +52,6 @@ def test_kernels_budget_override_changes_slab_sizing(monkeypatch):
 
     mod = importlib.reload(pk)
     try:
-        default_tx = None
-        small_tx = None
         monkeypatch.setattr(
             tuning, "current",
             lambda: tuning.DeviceTuning(
