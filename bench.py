@@ -27,16 +27,17 @@ temporal blocking beating the unfused roofline, reported as standard
 alongside as ``actual_streamed_gb`` / ``actual_hbm_gbps`` (the kernel is
 VPU-bound at that point, not HBM-bound).
 
-Environment knobs: BENCH_SIZE (default 511), BENCH_CYCLES (default 30),
+Environment knobs: BENCH_SIZE (default 511), BENCH_CYCLES (default 60),
 BENCH_MODE (default 0 = linear), BENCH_CHECK_EVERY (default = BENCH_CYCLES;
 cycles per mega-kernel launch on the v2 path).
 
-BENCH_CYCLES=30 (raised from 10 in round 4): the mega-kernel runs the whole
-batch in one launch via an in-kernel cycle loop, so the once-per-batch norm
-fetch (~25-30 ms of axon-tunnel latency regardless of size, the dominant
-wall-vs-device gap) amortises over more cycles.  ``device_per_cycle_ms`` is
-the batch-size-independent kernel time; ``check_every`` travels in the JSON
-so rounds remain comparable.
+BENCH_CYCLES=60 (10 -> 30 in round 4, -> 60 in round 5): the mega-kernel
+runs the whole batch in one launch via an in-kernel cycle loop, so the
+once-per-batch norm fetch (~25-30 ms of axon-tunnel latency regardless of
+size, the dominant wall-vs-device gap) amortises over more cycles.
+``device_per_cycle_ms`` is the batch-size-independent kernel time
+(9.40 ms at 511^3 as of round 5); ``check_every`` travels in the JSON so
+rounds remain comparable.
 """
 
 from __future__ import annotations
@@ -242,7 +243,7 @@ def session_ceiling_gbps() -> float:
 
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "511"))
-    cycles = int(os.environ.get("BENCH_CYCLES", "30"))
+    cycles = int(os.environ.get("BENCH_CYCLES", "60"))
     mode_num = int(os.environ.get("BENCH_MODE", "0"))
     check_every = int(os.environ.get("BENCH_CHECK_EVERY", str(cycles)))
 
