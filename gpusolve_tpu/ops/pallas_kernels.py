@@ -72,6 +72,37 @@ def _apply_tuning() -> None:
     _VMEM_LIMIT = t.kernels_vmem_limit
 
 
+
+def _dot3t(a, w, dtype, transpose=False):
+    """Transfer dot at f32-class precision in THREE MXU passes instead of
+    HIGHEST's six (round 5, shared form with pallas_vcycle2._dot3 — see
+    PERF.md §9): the transfer weights are dyadic (exact in bf16), the
+    operand splits into three bf16 terms carrying all 24 f32 mantissa
+    bits, one dot call via contraction-axis concatenation.  Non-f32
+    dtypes keep the HIGHEST form."""
+    if jnp.dtype(dtype) != jnp.float32:
+        if transpose:
+            return jnp.dot(
+                w.T, a, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.dot(
+            a, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    ww = jnp.concatenate([wb] * 3, axis=0)
+    if transpose:
+        aa = jnp.concatenate([hi, mid, lo], axis=0)
+        return jnp.dot(ww.T, aa, preferred_element_type=jnp.float32)
+    aa = jnp.concatenate([hi, mid, lo], axis=1)
+    return jnp.dot(aa, ww, preferred_element_type=jnp.float32)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -528,14 +559,8 @@ def _restrict_call(
         wy = _restrict_matrix(fyp, cyp, cny, dtype)  # (fyp, cyp)
         wz = _restrict_matrix(fzp, czp, cnz, dtype)  # (fzp, czp)
         for c in range(tx):
-            tmp = jnp.dot(
-                sx_planes[c], wz, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-            )  # (fyp, czp)
-            out_c = jnp.dot(
-                wy.T, tmp.astype(dtype), preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-            )  # (cyp, czp)
+            tmp = _dot3t(sx_planes[c], wz, dtype)        # (fyp, czp)
+            out_c = _dot3t(tmp, wy, dtype, transpose=True)  # (cyp, czp)
             oslab[c] = out_c.astype(dtype)
 
         cp_o = pltpu.make_async_copy(
@@ -638,14 +663,8 @@ def _prolong_call(
         cp_v.wait()
         vsl = vs[...]
         for q in range(txw):
-            tmp = jnp.dot(
-                ex[q], pz, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-            )  # (cyp, fzp)
-            e_q = jnp.dot(
-                py.T, tmp.astype(dtype), preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-            )  # (fyp, fzp)
+            tmp = _dot3t(ex[q], pz, dtype)               # (cyp, fzp)
+            e_q = _dot3t(tmp, py, dtype, transpose=True)  # (fyp, fzp)
             os_[q] = vsl[q] + e_q.astype(dtype)
 
         cp_o = pltpu.make_async_copy(

@@ -67,6 +67,35 @@ def _apply_tuning() -> None:
     _VMEM_LIMIT = t.v1_vmem_limit
 
 
+
+def _dot3v(a, w, dtype, transpose=False):
+    """3-pass exact-bf16 transfer dot (round 5; see PERF.md §9 and
+    pallas_vcycle2._dot3 — dyadic weights exact in bf16, operand split
+    carries all 24 f32 mantissa bits, one concatenated dot call).
+    Non-f32 dtypes keep the HIGHEST form."""
+    if jnp.dtype(dtype) != jnp.float32:
+        if transpose:
+            return jnp.dot(
+                w.T, a, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.dot(
+            a, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    ww = jnp.concatenate([wb] * 3, axis=0)
+    if transpose:
+        aa = jnp.concatenate([hi, mid, lo], axis=0)
+        return jnp.dot(ww.T, aa, preferred_element_type=jnp.float32)
+    aa = jnp.concatenate([hi, mid, lo], axis=1)
+    return jnp.dot(aa, ww, preferred_element_type=jnp.float32)
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -456,15 +485,8 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         + 0.5 * vs[0, 2 * c + 1, :fyl, :fzl]
                         + 0.25 * vs[0, 2 * c + 2, :fyl, :fzl]
                     )
-                    tmp = jnp.dot(
-                        sx_c, wz, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    out_c = jnp.dot(
-                        wy.T, tmp.astype(dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    tmp = _dot3v(sx_c, wz, dtype)
+                    out_c = _dot3v(tmp, wy, dtype, transpose=True)
                     # Fine planes < 2c+1 are consumed; reuse plane c of the
                     # slab buffer as the output staging area.
                     fs[0, c, :cyl, :czl] = out_c.astype(dtype)
@@ -507,14 +529,9 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         + 0.5 * vs[0, 2 * c + 1, :fyl, :fzl]
                         + 0.25 * vs[0, 2 * c + 2, :fyl, :fzl]
                     )
-                    tmp = jnp.dot(
-                        sx_c, wz, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    rr_c = jnp.dot(
-                        wy.T, tmp.astype(dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                    tmp = _dot3v(sx_c, wz, dtype)
+                    rr_c = _dot3v(
+                        tmp, wy, dtype, transpose=True
                     ).astype(dtype)
                     av = plane_stencil(lc, 0, c, cyl, czl, sbuf=os_)
                     rv_c = os_[0, 1 + c, :cyl, :czl]
@@ -572,15 +589,8 @@ def _vcycle_call(key, dims_key, dtype_name, interpret: bool):
                         )
                     else:
                         ex_q = coarse_plane((q + 1) // 2)
-                    tmp = jnp.dot(
-                        ex_q, pz, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    e_q = jnp.dot(
-                        py.T, tmp.astype(dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    tmp = _dot3v(ex_q, pz, dtype)
+                    e_q = _dot3v(tmp, py, dtype, transpose=True)
                     vs[0, q, :fyl, :fzl] = vs[0, q, :fyl, :fzl] + \
                         e_q.astype(dtype)
                 copy_out(vs, 0, txw, fyl, fzl, dst, sx + 1, 3).wait()
