@@ -333,3 +333,38 @@ def test_leg_tail_fused_junction_ysplit():
     np.testing.assert_allclose(
         np.asarray(h_pv2), ho, rtol=5e-4, atol=1e-6 * ho[0]
     )
+
+
+def test_leg_tail_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/resume through a tail plan (the TPU default since
+    round 5): the tail root's direct-layout state must round-trip and
+    the resumed history must continue bit-identically."""
+    import jax
+
+    from gpusolve_tpu.dist import solve_spmd
+    from gpusolve_tpu.dist.mesh import make_mesh
+    from gpusolve_tpu.utils.checkpoint import (
+        load_state_spmd,
+        save_state_spmd,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    p = _tail_params(Mode.LINEAR, maxiter=4)
+    mesh = make_mesh((2, 1, 1))
+    _, h_full, _ = solve_spmd(p, mesh, cutoff=4, tail="pv2")
+    st, h1, plan = solve_spmd(
+        p.replace(maxiter=2), mesh, cutoff=4, tail="pv2"
+    )
+    path = str(tmp_path / "ckpt_tail.npz")
+    save_state_spmd(
+        path, st, plan, p, "spmd/leg", iteration=2, history=h1
+    )
+    st2, _, h0, _ = load_state_spmd(path, p, plan, "spmd/leg")
+    _, h2, _ = solve_spmd(
+        p.replace(maxiter=2), mesh, cutoff=4, tail="pv2",
+        state=st2, plan=plan, initial_residual=h0[0],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h1 + h2), np.asarray(h_full)
+    )
